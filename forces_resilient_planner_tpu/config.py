@@ -1,0 +1,223 @@
+"""Typed configuration tree for the TPU-native resilient planner.
+
+Every constant that is hard-coded or ROS-parameterized in the reference
+(ZJU-FAST-Lab/forces_resilient_planner) becomes a named field here.
+Reference provenance is cited per field group:
+
+- physical constants / problem dimensions: matlab_code/setup.m:11-40
+- cost weights:                            plan_manage/src/nmpc_solver.cpp:62-76
+- search parameters:                       plan_manage/launch/advanced_param.xml:97-110
+- mapping parameters:                      plan_manage/launch/advanced_param.xml:57-94
+- FSM / safety thresholds:                 plan_manage/src/nmpc_manage.cpp, nmpc_solver.cpp
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Quadrotor model + horizon dimensions (setup.m:11-40, nmpc_utils.h:186-205)."""
+
+    mass: float = 0.745319
+    g: float = 9.81
+    drag_coeff: float = 0.33          # rotor drag, x/y only (nonlinear_dynamics.m:27)
+    N: int = 20                       # horizon length
+    dt: float = 0.05                  # stage timestep [s]
+    nx: int = 9                       # state dim  [p(3), v(3), rpy(3)]
+    nu: int = 4                       # input dim  [wx, wy, wz, thrust]
+    nvar: int = 17                    # stage var  [u(4), u_prev(4), x(9)]
+    nh: int = 30                      # corridor rows per stage
+    npar: int = 130                   # per-stage parameter block (10 + 4*nh)
+
+    # input bounds (setup.m:26-28)
+    max_rate: float = math.radians(90.0)
+    min_thrust_factor: float = 0.5    # * m * g
+    max_thrust_factor: float = 2.0    # * m * g
+
+    # state bounds (mpc_generator_normal.m:28-46)
+    map_halfsize: Tuple[float, float, float] = (20.0, 20.0, 5.0)
+    max_vel: float = 2.0
+    max_tilt: float = 0.4 * math.pi   # roll/pitch bound
+    max_yaw: float = 2.0 * math.pi
+
+    @property
+    def min_thrust(self) -> float:
+        return self.min_thrust_factor * self.mass * self.g
+
+    @property
+    def max_thrust(self) -> float:
+        return self.max_thrust_factor * self.mass * self.g
+
+    @property
+    def hover_thrust(self) -> float:
+        return self.mass * self.g
+
+
+@dataclasses.dataclass(frozen=True)
+class WeightConfig:
+    """Cost weights; defaults from nmpc_solver.cpp:62-70.
+
+    Two profiles exist in the reference ("normal" tracking solver and "final"
+    braking solver).  They share the same cost structure; the final solver
+    additionally applies a terminal 20*w_wp*||v||^2 braking term
+    (mpc_objectiveN_final.m:27).
+    """
+
+    w_stage_wp: float = 15.0
+    w_stage_input: float = 3.0
+    w_terminal_wp: float = 15.0
+    w_terminal_input: float = 0.0
+    w_input_rate: float = 80.0
+    w_final_stage_wp: float = 20.0
+    w_final_stage_input: float = 5.0
+    w_final_terminal_wp: float = 20.0
+    w_final_terminal_input: float = 5.0
+    yaw_weight_factor: float = 12.0       # 12*w_wp on yaw (mpc_objective_normal.m:22)
+    stage1_uprev_factor: float = 10.0     # 10*w_input on stage-1 u_prev (mpc_objective1.m:41)
+    final_brake_factor: float = 20.0      # 20*w_wp on terminal velocity (final profile)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Interior-point settings (mpc_generator_normal.m:51-79, FORCESNLPsolver_normal.h:86-107)."""
+
+    max_iters: int = 60               # fixed-trip-count IPM iterations under jit
+    tol_stat: float = 1e-4
+    tol_eq: float = 1e-4
+    tol_ineq: float = 1e-4
+    tol_comp: float = 1e-4
+    corridor_slack: float = 1e-5      # hu = 1e-5 (mpc_generator_normal.m:14)
+    mu_init: float = 1.0
+    kappa_mu: float = 0.2             # barrier decrease factor
+    frac_to_boundary: float = 0.995
+    reg: float = 1e-8                 # primal regularization on the KKT diagonal
+    soc_iters: int = 0                # reserved
+
+
+@dataclasses.dataclass(frozen=True)
+class TubeConfig:
+    """Disturbance-tube propagation (nmpc_solver.cpp:28-31, 90-99, 486-519)."""
+
+    ego_r: float = 0.27
+    ego_h: float = 0.0425
+    ext_noise_bound: float = 0.5      # disturbance channel bound w_i
+    epsilon: float = 0.06             # initial uncertainty Q_init = eps^2 I (nmpc_utils.h:187)
+    # fixed feedback gain K (4x9), rows: wx, wy, wz, thrust (nmpc_solver.cpp:28-31)
+    K: Tuple[Tuple[float, ...], ...] = (
+        (-2.0, 5.0, 0.0, -1.0, 4.0, 0.0, -8.0, 0.0, 0.0),
+        (-5.0, -2.0, 0.0, -4.0, -1.0, 0.0, 0.0, -8.0, 0.0),
+        (-2.0, -2.0, 0.0, -1.0, -1.0, 0.0, 0.0, 0.0, -8.0),
+        (0.0, 0.0, -8.0, 0.0, 0.0, -6.0, 0.0, 0.0, 0.0),
+    )
+    reuse_inflation: float = 1.1      # corridor-reuse containment inflation (nmpc_solver.cpp:302)
+
+
+@dataclasses.dataclass(frozen=True)
+class CorridorConfig:
+    """Safe-flight-corridor generation (nmpc_solver.cpp:314-329, line_segment.h)."""
+
+    local_bbox: Tuple[float, float, float] = (2.0, 2.0, 1.0)
+    seed_len: float = 0.1             # 2-point seed length along ref yaw
+    max_obs_planes: int = 24          # + 6 bbox walls = 30 = nh
+    max_obstacles: int = 2048         # fixed obstacle buffer per decomposition
+    shrink_iters: int = 16            # bounded ellipsoid-shrink iterations
+    epsilon: float = 1e-10            # decomp_basis/data_type.h:128
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Kinodynamic front-end (advanced_param.xml:97-110)."""
+
+    max_tau: float = 0.5
+    init_max_tau: float = 0.5
+    max_vel: float = 2.0
+    max_acc: float = 3.0
+    w_time: float = 10.0
+    horizon: float = 7.5
+    lambda_heu: float = 5.0
+    resolution: float = 0.1
+    time_resolution: float = 0.8
+    check_num: int = 15
+    allocate_num: int = 100000
+    tie_breaker: float = 1.0 / 10000.0
+    acc_res: float = 0.5              # input lattice step factor (max_acc * res, res=1/2)
+    expand_width: int = 32            # frontier nodes expanded per round (TPU batching)
+    max_rounds: int = 256             # bounded best-first rounds
+    node_capacity: int = 8192         # fixed node-table size
+    init_sub_durations: int = 8       # first-expansion sub-durations (time_res_init=1/8)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Occupancy grid (advanced_param.xml:57-94)."""
+
+    size: Tuple[float, float, float] = (40.0, 40.0, 6.0)
+    origin: Tuple[float, float, float] = (-20.0, -20.0, -1.0)
+    resolution: float = 0.1
+    prob_hit_log: float = 1.2
+    prob_miss_log: float = -0.5
+    clamp_min_log: float = -1.0
+    clamp_max_log: float = 2.0
+    min_occupancy_log: float = 1.70
+    min_ray_length: float = 0.1
+    max_ray_length: float = 6.0
+    depth_scale: float = 1000.0
+    skip_pixel: int = 2
+    depth_filter_margin: int = 1
+    depth_filter_maxdist: float = 6.0
+    depth_filter_mindist: float = 0.1
+    depth_filter_tolerance: float = 0.2
+    rows: int = 480
+    cols: int = 640
+
+    @property
+    def grid_shape(self) -> Tuple[int, int, int]:
+        return tuple(int(round(s / self.resolution)) for s in self.size)
+
+
+@dataclasses.dataclass(frozen=True)
+class FSMConfig:
+    """Mission FSM thresholds (nmpc_manage.cpp, nmpc_solver.cpp)."""
+
+    goal_z: float = 1.2               # goal z fixed (nmpc_manage.cpp:491)
+    yaw_gate: float = 0.8             # init-yaw alignment gate [rad] (nmpc_manage.cpp:164)
+    max_yaw_dot: float = 0.4 * math.pi
+    ext_noise_bound: float = 0.5
+    panic_force: float = 10.0         # m/s^2 panic-stop threshold (nmpc_manage.cpp:404)
+    divergence_dist: float = 2.0      # odom-vs-prediction guard (nmpc_solver.cpp:453)
+    goal_radius: float = 0.15         # reached test (nmpc_solver.cpp:466)
+    final_switch_dist: float = 1.0    # normal->final switch (nmpc_solver.cpp:446)
+    local_end_dist: float = 0.7       # local-end replan test (nmpc_solver.cpp:439)
+    ref_jump_replan: float = 1.0      # hard-to-follow replan (nmpc_solver.cpp:136)
+    max_plan_fails: int = 3
+    max_solve_fails: int = 2
+    max_replans: int = 3
+    goal_inflate: float = 1.2
+    goal_relocate_inflate: float = 1.5
+    traj_check_stride: int = 5
+    cmd_rate_hz: float = 100.0
+    mpc_rate_hz: float = 20.0
+    hover_thrust_seed: float = 7.3    # real_thrust_c_ (nmpc_utils.h:196)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    weights: WeightConfig = dataclasses.field(default_factory=WeightConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    tube: TubeConfig = dataclasses.field(default_factory=TubeConfig)
+    corridor: CorridorConfig = dataclasses.field(default_factory=CorridorConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    fsm: FSMConfig = dataclasses.field(default_factory=FSMConfig)
+
+    def K_matrix(self) -> np.ndarray:
+        return np.asarray(self.tube.K, dtype=np.float64)
+
+
+DEFAULT_CONFIG = PlannerConfig()

@@ -1,0 +1,244 @@
+"""Primal-dual interior-point NMPC solver (FORCES PDIP_NLP equivalent).
+
+Single-loop nonlinear IPM: at each iteration the dynamics are linearized
+(Gauss-Newton — the cost is exactly quadratic so this is the exact cost
+Hessian), all stage-separable inequalities are absorbed into the stage
+Hessian through the barrier term, and the resulting equality-constrained
+QP is solved by Riccati recursion (solver/riccati.py).
+
+Matches the NLP of the reference's generated solver
+(FORCESNLPsolver_normal, maxit 200, tolerances 1e-4:
+mpc_generator_normal.m:51-79).  Fixed-point-free jit semantics: a bounded
+while_loop with convergence masking; exit code 1 = optimal, 0 = max-iter
+(FORCESNLPsolver_normal.h:110-139).
+
+Design notes (TPU):
+  - every array op is stage-batched (N=20 leading axis) and vmap-able over
+    scenarios; the only sequential dependency is the N-step Riccati scan.
+  - f32 on TPU with HIGHEST matmul precision; f64 under jax_enable_x64 for
+    the CPU oracle path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from forces_resilient_planner_tpu.config import ModelConfig, SolverConfig
+from forces_resilient_planner_tpu.solver import nlp
+from forces_resilient_planner_tpu.solver.nlp import (
+    NLPParams,
+    NXB,
+    NU,
+    NZ,
+    PERM_XBAR,
+    PERM_U,
+)
+from forces_resilient_planner_tpu.solver.riccati import solve_lqr
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class SolveResult(NamedTuple):
+    Z: jnp.ndarray          # (N, 17) primal solution
+    lam: jnp.ndarray        # (N, 13) equality multipliers (row 0 = init, rows 1.. = dynamics)
+    s: jnp.ndarray          # (N, 64) slacks
+    mu_d: jnp.ndarray       # (N, 64) inequality duals
+    exit_code: jnp.ndarray  # 1 optimal / 0 max-iter
+    iters: jnp.ndarray
+    kkt_error: jnp.ndarray  # final max KKT residual
+
+
+class _State(NamedTuple):
+    Z: jnp.ndarray
+    lam: jnp.ndarray
+    s: jnp.ndarray
+    mu_d: jnp.ndarray
+    mu: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    err: jnp.ndarray
+
+
+def _eq_grad(Z, lam, params, cfg):
+    """J_eq^T lam accumulated per stage.  lam[0,:9] = init rows; lam[i+1] =
+    dynamics-constraint-i rows (13)."""
+    N = Z.shape[0]
+    Ax, Bx = nlp.dynamics_jacobians(Z, params, cfg)  # (N-1,9,9), (N-1,9,4)
+    lam_dyn = lam[1:]                                # (N-1, 13)
+    lx, lu = lam_dyn[:, :9], lam_dyn[:, 9:]
+    out = jnp.zeros_like(Z)
+    # d/dz_i  of lam_i^T (F(z_i) - E z_{i+1}):
+    out = out.at[:-1, nlp.IU].add(
+        jnp.einsum("nij,ni->nj", Bx, lx, precision=_PREC) + lu
+    )
+    out = out.at[:-1, nlp.IX].add(
+        jnp.einsum("nij,ni->nj", Ax, lx, precision=_PREC)
+    )
+    # d/dz_{i+1}: -E^T lam_i
+    out = out.at[1:, nlp.IX].add(-lx)
+    out = out.at[1:, nlp.IUP].add(-lu)
+    # init constraint rows on stage-0 states
+    out = out.at[0, nlp.IX].add(lam[0, :9])
+    return out, Ax, Bx
+
+
+def _kkt_error(Z, lam, s, mu_d, params, cfg, H, lb, ub, hu, mu):
+    grad_f = nlp.cost_gradient(Z, params, H)
+    eq_g, _, _ = _eq_grad(Z, lam, params, cfg)
+    ineq_g = nlp.ineq_jac_T_times(params, mu_d)
+    r_stat = grad_f + eq_g + ineq_g
+    c = nlp.dynamics_residuals(Z, params, cfg)
+    r_init = Z[0, nlp.IX] - params.xinit
+    g = nlp.inequality_residuals(Z, params, lb, ub, hu)
+    r_g = g + s
+    r_c = s * mu_d - mu
+    stat = jnp.max(jnp.abs(r_stat))
+    eq = jnp.maximum(jnp.max(jnp.abs(c)), jnp.max(jnp.abs(r_init)))
+    ineq = jnp.max(jnp.abs(r_g))
+    comp = jnp.max(jnp.abs(r_c))
+    return stat, eq, ineq, comp
+
+
+def solve(
+    Z0: jnp.ndarray,
+    params: NLPParams,
+    mcfg: ModelConfig,
+    scfg: SolverConfig,
+) -> SolveResult:
+    """Solve one NMPC NLP.  Z0: (N, 17) warm start."""
+    N = Z0.shape[0]
+    dtype = Z0.dtype
+    H = nlp.stage_hessians(params.weights, mcfg, dtype)
+    lb, ub = nlp.variable_bounds(mcfg, dtype)
+    hu = jnp.asarray(scfg.corridor_slack, dtype)
+    tol = jnp.asarray(
+        max(scfg.tol_stat, scfg.tol_eq, scfg.tol_ineq, scfg.tol_comp), dtype
+    )
+
+    # clip warm start strictly inside the box so initial slacks are positive
+    margin = 1e-3
+    Zc = jnp.clip(Z0, lb + margin, ub - margin)
+
+    g0 = nlp.inequality_residuals(Zc, params, lb, ub, hu)
+    s0 = jnp.maximum(-g0, 1e-2)
+    mu0 = jnp.asarray(scfg.mu_init, dtype)
+    mu_d0 = jnp.clip(mu0 / s0, 1e-6, 1e6)
+    lam0 = jnp.zeros((N, NXB), dtype)
+
+    def kkt_err_all(Z, lam, s, mu_d, mu):
+        return _kkt_error(Z, lam, s, mu_d, params, mcfg, H, lb, ub, hu, mu)
+
+    def body(st: _State) -> _State:
+        Z, lam, s, mu_d, mu = st.Z, st.lam, st.s, st.mu_d, st.mu
+
+        grad_f = nlp.cost_gradient(Z, params, H)
+        g = nlp.inequality_residuals(Z, params, lb, ub, hu)
+        r_g = g + s
+        sigma = mu_d / s
+        # stage Hessian with barrier weighting + primal regularization
+        W = H + nlp.ineq_weighted_hessian(params, sigma)
+        W = W + scfg.reg * jnp.eye(NZ, dtype=dtype)[None]
+        # QP gradient (lambda^+ substitution: no J_eq^T lam term here)
+        w_vec = mu / s + sigma * r_g
+        q = grad_f + nlp.ineq_jac_T_times(params, w_vec)
+
+        # partition to (xbar, u)
+        Wp = W[:, PERM_XBAR[:, None], PERM_XBAR[None, :]]      # (N,13,13) Q
+        Rp = W[:, PERM_U[:, None], PERM_U[None, :]]            # (N,4,4)   R
+        Sp = W[:, PERM_U[:, None], PERM_XBAR[None, :]]         # (N,4,13)  S
+        qx = q[:, PERM_XBAR]
+        qu = q[:, PERM_U]
+
+        # dynamics linearization
+        c = nlp.dynamics_residuals(Z, params, mcfg)            # (N-1,13)
+        Ax, Bx = nlp.dynamics_jacobians(Z, params, mcfg)
+        Abar = jnp.zeros((N - 1, NXB, NXB), dtype)
+        Abar = Abar.at[:, :9, :9].set(Ax)
+        Bbar = jnp.zeros((N - 1, NXB, NU), dtype)
+        Bbar = Bbar.at[:, :9, :].set(Bx)
+        Bbar = Bbar.at[:, 9:, :].set(jnp.eye(NU, dtype=dtype)[None])
+
+        dx0 = params.xinit - Z[0, nlp.IX]
+        sol = solve_lqr(Wp, Rp, Sp, qx, qu, Abar, Bbar, c, dx0)
+
+        dZ = jnp.zeros_like(Z)
+        dZ = dZ.at[:, nlp.IX].set(sol.dxb[:, :9])
+        dZ = dZ.at[:, nlp.IUP].set(sol.dxb[:, 9:])
+        dZ = dZ.at[:, nlp.IU].set(sol.du)
+
+        # slack / dual steps
+        ds = -r_g - nlp.ineq_jac_times(params, dZ)
+        mu_d_new_full = mu / s + sigma * (r_g + nlp.ineq_jac_times(params, dZ))
+        dmu = mu_d_new_full - mu_d
+
+        # new equality multipliers from costates: dynamics rows are +nu_{i+1};
+        # the init-constraint multiplier is -nu_0 (x part; theta rows unused)
+        lam_plus = sol.nu                                       # (N, 13)
+        lam0_row = jnp.concatenate(
+            [-sol.nu[0, :9], jnp.zeros((4,), dtype)]
+        )
+        lam_plus = lam_plus.at[0].set(lam0_row)
+
+        # fraction-to-boundary
+        tau = jnp.asarray(scfg.frac_to_boundary, dtype)
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio))
+
+        a_p = max_step(s, ds)
+        a_d = max_step(mu_d, dmu)
+
+        Z_n = Z + a_p * dZ
+        s_n = s + a_p * ds
+        mu_d_n = mu_d + a_d * dmu
+        lam_n = lam + a_d * (lam_plus - lam)
+
+        # barrier update (monotone Fiacco-McCormick / IPOPT rule)
+        stat, eq, ineq, comp = kkt_err_all(Z_n, lam_n, s_n, mu_d_n, mu)
+        err_mu = jnp.max(jnp.stack([stat, eq, ineq, comp]))
+        shrink = err_mu <= 10.0 * mu
+        mu_n = jnp.where(
+            shrink,
+            jnp.maximum(tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)),
+            mu,
+        )
+
+        comp0 = jnp.max(jnp.abs(s_n * mu_d_n))
+        err0 = jnp.max(jnp.stack([stat, eq, ineq, comp0]))
+        done = err0 <= tol
+
+        # guard against NaN poisoning: keep previous iterate if step was bad
+        bad = ~jnp.isfinite(err0)
+        Z_n = jnp.where(bad, Z, Z_n)
+        s_n = jnp.where(bad, s, s_n)
+        mu_d_n = jnp.where(bad, mu_d, mu_d_n)
+        lam_n = jnp.where(bad, lam, lam_n)
+        done = jnp.where(bad, True, done)
+
+        return _State(
+            Z=Z_n, lam=lam_n, s=s_n, mu_d=mu_d_n, mu=mu_n,
+            it=st.it + 1, done=done, err=err0,
+        )
+
+    def cond(st: _State):
+        return (~st.done) & (st.it < scfg.max_iters)
+
+    init_err = jnp.asarray(jnp.inf, dtype)
+    st = _State(
+        Z=Zc, lam=lam0, s=s0, mu_d=mu_d0, mu=mu0,
+        it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False), err=init_err,
+    )
+    st = jax.lax.while_loop(cond, body, st)
+
+    exit_code = jnp.where(st.done & jnp.isfinite(st.err), 1, 0).astype(jnp.int32)
+    return SolveResult(
+        Z=st.Z, lam=st.lam, s=st.s, mu_d=st.mu_d,
+        exit_code=exit_code, iters=st.it, kkt_error=st.err,
+    )
+
+
+solve_batch = jax.vmap(solve, in_axes=(0, 0, None, None))

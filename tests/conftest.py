@@ -1,0 +1,24 @@
+"""Test harness: run on a virtual 8-device CPU mesh, f64 enabled.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count), per the repo's build rules; the
+real-TPU path is exercised by bench.py / __graft_entry__.py.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the axon sitecustomize force-registers the TPU platform; tests must run on
+# the virtual CPU mesh regardless, so override after import.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
