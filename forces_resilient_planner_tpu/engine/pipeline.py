@@ -117,6 +117,7 @@ def nmpc_step(
     obstacle_mask: jnp.ndarray,  # (M,)
     use_final: jnp.ndarray,      # bool: final (braking) profile
     cfg: PlannerConfig,
+    accept_on_maxit: jnp.ndarray | bool = False,
 ) -> NMPCStepResult:
     mcfg = cfg.model
     N = mcfg.N
@@ -161,8 +162,11 @@ def nmpc_step(
     res = ipm.solve(Z0, params, mcfg, cfg.solver)
 
     # 5. accept or keep previous (solveNMPC lines 397-429 acceptance; counter
-    #    policy lives in the host FSM)
-    ok = res.exit_code == 1
+    #    policy lives in the host FSM).  accept_on_maxit mirrors the
+    #    desperate acceptance after >3 replans (nmpc_solver.cpp:408-413).
+    ok = (res.exit_code == 1) | (
+        jnp.asarray(accept_on_maxit) & jnp.isfinite(res.kkt_error)
+    )
     Z_new = jnp.where(ok, wrap_yaw_outputs(res.Z), mpc_output[:N])
     out = jnp.concatenate([Z_new, Z_new[-1][None]], axis=0)
 

@@ -1,0 +1,485 @@
+"""Host orchestration shell: mission FSM + planner facade.
+
+Equivalent of NMPCManage (plan_manage/src/nmpc_manage.cpp) and the host-side
+parts of NMPCSolver (getKinoPath warm starting, solve accounting, command
+status machine).  All device compute is jitted; this class owns only control
+flow, counters and the simulated clock.
+
+FSM: INIT -> WAIT_TARGET -> INIT_YAW -> GEN_NEW_TRAJ/REPLAN_TRAJ ->
+EXEC_TRAJ (nmpc_manage.h:15-23), with the reference's fail ladders:
+  - plan_fail_count > 3 aborts to WAIT_TARGET (nmpc_manage.cpp:186-192)
+  - solver fail_count > 2 escalates to replan; replan_count > 3 with
+    exit-code 0 accepts the max-iter iterate (nmpc_solver.cpp:397-429)
+  - force watchdog: deadband ext_noise_bound, jump replan, >10 m/s^2 panic
+    stop (nmpc_manage.cpp:366-418)
+  - goal-relocation ring scan when the goal becomes occupied
+    (nmpc_manage.cpp:285-327; implemented with true radian angles — the
+    reference passes degree values to cos/sin, a latent unit bug we fix)
+  - trajectory collision recheck every 5th sample (lines 329-340)
+"""
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forces_resilient_planner_tpu.config import DEFAULT_CONFIG, PlannerConfig
+from forces_resilient_planner_tpu.engine import commander
+from forces_resilient_planner_tpu.engine.commander import CmdStatus, Command
+from forces_resilient_planner_tpu.engine.pipeline import nmpc_step
+from forces_resilient_planner_tpu.mapping import occ_grid as og
+from forces_resilient_planner_tpu.search import kinodynamic as kd
+
+
+class FSMState(enum.Enum):
+    INIT = 0
+    WAIT_TARGET = 1
+    INIT_YAW = 2
+    GEN_NEW_TRAJ = 3
+    REPLAN_TRAJ = 4
+    EXEC_TRAJ = 5
+
+
+@dataclass
+class PlannerDiagnostics:
+    solves: int = 0
+    solve_failures: int = 0
+    replans: int = 0
+    last_exit_code: int = -1
+    last_iters: int = 0
+    last_kkt: float = float("nan")
+    fsm_transitions: list = field(default_factory=list)
+
+
+class ResilientPlanner:
+    """Complete planner stack behind a ROS-free interface.
+
+    Inputs: odometry, external force estimate, goal, obstacle cloud or depth.
+    Output: 100 Hz Command stream.
+    """
+
+    def __init__(self, cfg: PlannerConfig = DEFAULT_CONFIG, max_cloud: int = 4096,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.max_cloud = max_cloud
+        self.grid = og.make_grid(cfg.map, dtype)
+        self.state = FSMState.INIT
+        self.cmd_status = CmdStatus.INIT_POSITION
+        self.diag = PlannerDiagnostics()
+
+        self.have_odom = False
+        self.have_target = False
+        self.have_traj = False
+        self.trigger = False
+        self.exec_mpc = False
+        self.consider_force = False
+        self.replan_force_surpass = False
+        self.pub_end = False
+        self.initialized_output = False
+        self.use_final = False
+
+        self.plan_fail_count = 0
+        self.fail_count = 0
+        self.replan_count = 0
+        self.surpass_count = 0
+
+        self.odom = np.zeros(9)
+        self.external_acc = np.zeros(3)
+        self.last_external_acc = np.zeros(3)
+        self.end_pt = np.zeros(3)
+        self.init_yaw = 0.0
+        self.init_yaw_dot = 0.0
+        self.change_yaw_time = 0.0
+
+        N = cfg.model.N
+        self.mpc_output = np.zeros((N + 1, 17))
+        self.pre_mpc_output = self.mpc_output.copy()
+        self.pre_mpc_start_time = 0.0
+        self.kino_start_time = 0.0
+        self.kino_path = np.zeros((kd.MAX_SAMPLES, 3))
+        self.kino_size = 0
+
+        self.obstacles = np.zeros((max_cloud, 3))
+        self.obstacle_mask = np.zeros(max_cloud, bool)
+
+        self._jit_step = jax.jit(
+            lambda out, path, size, toff, st, f, end, obs, om, fin, acc:
+            nmpc_step(out, path, size, toff, st, f, end, obs, om, fin,
+                      cfg=cfg, accept_on_maxit=acc),
+        )
+        self._jit_search = jax.jit(
+            lambda grid, p, v, a, g, ge, ext, init: kd.search(
+                grid, p, v, a, g, ge, ext, init,
+                cfg.search, cfg.tube, cfg.map,
+            ),
+            static_argnames=("init",),
+        )
+        self._jit_traj = jax.jit(kd.get_kino_traj)
+        self._jit_cloud = jax.jit(
+            lambda grid: og.occupied_cloud(grid, cfg.map, max_cloud)
+        )
+        self._jit_surround = jax.jit(
+            lambda grid, pos, r: og.check_pos_surround(
+                grid, pos, r, cfg.tube.ego_r, cfg.tube.ego_h, cfg.map
+            ),
+            static_argnames=("r",),
+        )
+        self._jit_raycast = jax.jit(
+            lambda grid, pts, valid, cam: og.raycast_update(
+                grid, pts, valid, cam, cfg.map
+            )
+        )
+
+    # ------------------------------------------------------------------ IO
+    def on_odometry(self, state: np.ndarray):
+        """9-state odometry [p, v_world, rpy] (odometryCallback)."""
+        self.odom = np.asarray(state, float).copy()
+        self.have_odom = True
+
+    def on_external_force(self, force: np.ndarray):
+        """Mass-normalized force estimate (extforceCallback, 366-418)."""
+        f = np.asarray(force, float)
+        if not self.consider_force:
+            return
+        bound = self.cfg.fsm.ext_noise_bound
+        diverse = float(np.max(np.abs(f)))
+        if diverse <= bound:
+            self.external_acc = np.zeros(3)
+            self.last_external_acc = f.copy()
+            self.surpass_count = 0
+            return
+        self.external_acc = f.copy()
+        surpass = float(np.max(np.abs(self.last_external_acc - f)))
+        if surpass > bound:
+            self.surpass_count += 1
+            if self.surpass_count >= 1:
+                self.replan_force_surpass = True
+                self.last_external_acc = f.copy()
+                if self.have_target:
+                    self._change_state(FSMState.REPLAN_TRAJ, "force-watchdog")
+                if surpass > self.cfg.fsm.panic_force:
+                    self.have_target = False
+                    self._change_state(FSMState.WAIT_TARGET, "force-panic")
+        else:
+            self.surpass_count = 0
+
+    def set_goal(self, goal_xy: np.ndarray, z: float | None = None):
+        """goalCallback: z pinned to 1.2 (nmpc_manage.cpp:481-493)."""
+        g = np.asarray(goal_xy, float)
+        self.end_pt = np.array(
+            [g[0], g[1], self.cfg.fsm.goal_z if z is None else z]
+        )
+        self.trigger = True
+        self.have_target = True
+
+    def on_cloud(self, points: np.ndarray):
+        """Direct obstacle cloud intake (cloudCallback analog)."""
+        m = min(len(points), self.max_cloud)
+        self.obstacles[:m] = points[:m]
+        self.obstacle_mask[:] = False
+        self.obstacle_mask[:m] = True
+
+    def on_depth(self, depth: np.ndarray, R_wc: np.ndarray, t_wc: np.ndarray,
+                 fx: float, fy: float, cx: float, cy: float):
+        """Depth-image mapping path (depthOdomCallback analog)."""
+        pts, valid = og.project_depth(
+            jnp.asarray(depth, self.dtype), jnp.asarray(R_wc, self.dtype),
+            jnp.asarray(t_wc, self.dtype), self.cfg.map, fx, fy, cx, cy,
+        )
+        self.grid = self._jit_raycast(
+            self.grid, pts, valid, jnp.asarray(t_wc, self.dtype)
+        )
+        self.refresh_cloud()
+
+    def refresh_cloud(self):
+        pts, mask = self._jit_cloud(self.grid)
+        self.obstacles = np.asarray(pts, float)
+        self.obstacle_mask = np.asarray(mask)
+
+    def set_occupied(self, points: np.ndarray):
+        """Test/global-map convenience: mark voxels occupied directly."""
+        buf = jnp.asarray(points, self.dtype)
+        self.grid = og.set_occupancy(
+            self.grid, buf, jnp.ones(len(points), bool), self.cfg.map
+        )
+        self.refresh_cloud()
+
+    # ------------------------------------------------------------ internals
+    def _change_state(self, new: FSMState, who: str):
+        if new != self.state:
+            self.diag.fsm_transitions.append((self.state.name, new.name, who))
+        self.state = new
+
+    def _init_mpc_output(self):
+        """Hover-seeded deque (initMPCOutput, nmpc_solver.cpp:265-286)."""
+        row = np.zeros(17)
+        row[3] = row[7] = self.cfg.fsm.hover_thrust_seed
+        row[8:17] = self.odom
+        self.mpc_output = np.tile(row, (self.cfg.model.N + 1, 1))
+        self.pre_mpc_output = self.mpc_output.copy()
+        self.initialized_output = True
+
+    def _get_kino_path(self, t_now: float, replan: bool) -> bool:
+        """getKinoPath (nmpc_solver.cpp:145-226)."""
+        cfg = self.cfg
+        start_p = self.odom[0:3]
+        start_v = self.odom[3:6]
+        start_a = np.zeros(3)
+        if replan and self.diag.last_exit_code == 1:
+            t_cur = t_now - self.pre_mpc_start_time
+            cur = int(t_cur / cfg.model.dt)
+            if 0 <= cur < cfg.model.N - 1 and t_cur >= 0.0:
+                frac = (t_cur % cfg.model.dt) / cfg.model.dt
+                q = self.pre_mpc_output[cur] + frac * (
+                    self.pre_mpc_output[cur + 1] - self.pre_mpc_output[cur]
+                )
+                start_p = q[8:11]
+                start_v = q[11:14]
+                R = commander._euler_to_rot(q[14:17])
+                tw = R @ np.array([0.0, 0.0, q[3]]) / cfg.model.mass
+                start_a = tw - np.array([0.0, 0.0, cfg.model.g])
+
+        def run(init):
+            return self._jit_search(
+                self.grid,
+                jnp.asarray(start_p, self.dtype), jnp.asarray(start_v, self.dtype),
+                jnp.asarray(start_a, self.dtype),
+                jnp.asarray(self.end_pt, self.dtype), jnp.zeros(3, self.dtype),
+                jnp.asarray(self.external_acc, self.dtype),
+                init,
+            )
+
+        res = run(True)
+        if int(res.status) == kd.NO_PATH:
+            # retry with discontinuous initial state (lines 196-209)
+            start_p, start_v, start_a = self.odom[0:3], self.odom[3:6], np.zeros(3)
+            res = run(False)
+            if int(res.status) == kd.NO_PATH:
+                return False
+        path, size = self._jit_traj(
+            res, jnp.asarray(self.external_acc, self.dtype), cfg.model.dt
+        )
+        self.kino_path = np.asarray(path, float)
+        self.kino_size = int(size)
+        self.use_final = False
+        self.kino_start_time = t_now
+        self.cmd_status = CmdStatus.PUB_TRAJ
+        self.pub_end = False
+        return True
+
+    def _solve_nmpc(self, t_now: float) -> int:
+        """solveNMPC host wrapper (nmpc_solver.cpp:351-482)."""
+        if self.cmd_status == CmdStatus.WAIT:
+            return 0
+        if self.pub_end:
+            return -1
+        cfg = self.cfg
+        if not self.initialized_output or self.diag.last_exit_code != 1:
+            self._init_mpc_output()
+        self.pre_mpc_start_time = t_now
+        t_offset = t_now - self.kino_start_time
+
+        accept_maxit = self.replan_count > 3
+        res = self._jit_step(
+            jnp.asarray(self.mpc_output, self.dtype),
+            jnp.asarray(self.kino_path, self.dtype),
+            jnp.asarray(self.kino_size),
+            jnp.asarray(t_offset, self.dtype),
+            jnp.asarray(self.odom, self.dtype),
+            jnp.asarray(self.external_acc, self.dtype),
+            jnp.asarray(self.end_pt, self.dtype),
+            jnp.asarray(self.obstacles, self.dtype),
+            jnp.asarray(self.obstacle_mask),
+            jnp.asarray(self.use_final),
+            jnp.asarray(accept_maxit),
+        )
+        exit_code = int(res.exit_code)
+        self.diag.solves += 1
+        self.diag.last_exit_code = exit_code
+        self.diag.last_iters = int(res.iters)
+        self.diag.last_kkt = float(res.kkt_error)
+
+        kino_replan = bool(res.ref_jump_replan)
+        if exit_code == 1:
+            self.fail_count = 0
+            self.replan_count = 0
+            self.mpc_output = np.asarray(res.mpc_output, float)
+            self.pre_mpc_output = self.mpc_output.copy()
+        else:
+            self.diag.solve_failures += 1
+            if self.replan_count > 3 and exit_code == 0:
+                self.fail_count = 0
+                self.replan_count = 0
+                self.mpc_output = np.asarray(res.mpc_output, float)
+                self.pre_mpc_output = self.mpc_output.copy()
+            elif self.fail_count + 1 > 2:
+                self.fail_count = 0
+                self.replan_count += 1
+                kino_replan = True
+            else:
+                self.fail_count += 1
+
+        if bool(res.reach_local_end):
+            kino_replan = True
+        if bool(res.switch_to_final):
+            self.use_final = True
+        if bool(res.diverged):
+            self.cmd_status = CmdStatus.WAIT
+            return -3
+        if bool(res.goal_reached):
+            self.pub_end = True
+            return -1
+        if kino_replan:
+            self.diag.replans += 1
+            return -2
+        return 1
+
+    # ------------------------------------------------------------- timers
+    def tick_mpc(self, t_now: float):
+        """20 Hz mpcCallback (nmpc_manage.cpp:50-98)."""
+        if not self.exec_mpc:
+            return
+        status = self._solve_nmpc(t_now)
+        if status == 0:
+            self.exec_mpc = False
+            self.have_target = False
+            self._change_state(FSMState.WAIT_TARGET, "mpc")
+        elif status == -2:
+            self.exec_mpc = False
+            self._change_state(FSMState.REPLAN_TRAJ, "mpc")
+        elif status == -3:
+            self.exec_mpc = False
+            self._change_state(FSMState.WAIT_TARGET, "mpc")
+
+    def tick_fsm(self, t_now: float):
+        """100 Hz execFSMCallback (nmpc_manage.cpp:109-260)."""
+        s = self.state
+        cfg = self.cfg
+        if s == FSMState.INIT:
+            if self.have_odom:
+                self._change_state(FSMState.WAIT_TARGET, "fsm")
+        elif s == FSMState.WAIT_TARGET:
+            if not self.have_target:
+                self.consider_force = False
+            else:
+                self._change_state(FSMState.INIT_YAW, "fsm")
+                d = self.end_pt - self.odom[0:3]
+                self.init_yaw = math.atan2(d[1], d[0])
+                if abs(self.odom[8] - self.init_yaw) >= cfg.fsm.yaw_gate:
+                    self.init_yaw_dot = commander.init_yaw_rate(
+                        self.odom[8], self.init_yaw, cfg.fsm.max_yaw_dot
+                    )
+                    self.change_yaw_time = t_now
+                    self.cmd_status = CmdStatus.ROTATE_YAW
+                    self._rotate_odom_ref = self.odom.copy()
+        elif s == FSMState.INIT_YAW:
+            if abs(self.odom[8] - self.init_yaw) < cfg.fsm.yaw_gate:
+                self.consider_force = True
+                self._change_state(FSMState.GEN_NEW_TRAJ, "fsm")
+        elif s in (FSMState.GEN_NEW_TRAJ, FSMState.REPLAN_TRAJ):
+            replan = s == FSMState.REPLAN_TRAJ
+            self.exec_mpc = False
+            if self.plan_fail_count > cfg.fsm.max_plan_fails:
+                self.have_target = False
+                self.plan_fail_count = 0
+                self._change_state(FSMState.WAIT_TARGET, "fsm")
+                return
+            if self._get_kino_path(t_now, replan):
+                self.have_traj = True
+                self.trigger = False
+                self.exec_mpc = True
+                self.replan_force_surpass = False
+                self.plan_fail_count = 0
+                self._change_state(FSMState.EXEC_TRAJ, "fsm")
+            else:
+                self.plan_fail_count += 1
+                self._change_state(FSMState.GEN_NEW_TRAJ, "fsm")
+        elif s == FSMState.EXEC_TRAJ:
+            if self.trigger and self.exec_mpc:
+                self._change_state(FSMState.REPLAN_TRAJ, "fsm")
+
+    def tick_safety(self, t_now: float):
+        """20 Hz checkReplanCallback (nmpc_manage.cpp:285-341)."""
+        cfg = self.cfg
+        if self.have_target:
+            goal_free = bool(
+                self._jit_surround(
+                    self.grid, jnp.asarray(self.end_pt, self.dtype),
+                    cfg.fsm.goal_inflate,
+                )
+            )
+            if not goal_free:
+                relocated = False
+                for r in np.arange(0.2, 1.2001, 0.2):
+                    for th in np.deg2rad(np.arange(-90, 271, 30)):
+                        for nz in np.arange(1.0, 1.6001, 0.2):
+                            cand = np.array(
+                                [
+                                    self.end_pt[0] + r * math.cos(th),
+                                    self.end_pt[1] + r * math.sin(th),
+                                    nz,
+                                ]
+                            )
+                            if bool(
+                                self._jit_surround(
+                                    self.grid, jnp.asarray(cand, self.dtype),
+                                    cfg.fsm.goal_relocate_inflate,
+                                )
+                            ):
+                                self.end_pt = cand
+                                relocated = True
+                                break
+                        if relocated:
+                            break
+                    if relocated:
+                        break
+                if self.state == FSMState.EXEC_TRAJ:
+                    self._change_state(FSMState.REPLAN_TRAJ, "safety-goal")
+                elif not relocated:
+                    self.have_target = False
+                    self._change_state(FSMState.WAIT_TARGET, "safety-goal")
+        if self.have_traj and self.kino_size > 0:
+            for i in range(0, self.kino_size, cfg.fsm.traj_check_stride):
+                if not bool(
+                    self._jit_surround(
+                        self.grid, jnp.asarray(self.kino_path[i], self.dtype),
+                        cfg.fsm.goal_inflate,
+                    )
+                ):
+                    self._change_state(FSMState.REPLAN_TRAJ, "safety-traj")
+                    break
+
+    def get_command(self, t_now: float) -> Command | None:
+        """100 Hz command output (cmdTrajCallback, nmpc_solver.cpp:865-987)."""
+        cs = self.cmd_status
+        if cs in (CmdStatus.INIT_POSITION, CmdStatus.WAIT):
+            return None
+        if cs == CmdStatus.ROTATE_YAW:
+            return commander.rotate_yaw_command(
+                self._rotate_odom_ref, self.init_yaw, self.init_yaw_dot,
+                t_now - self.change_yaw_time,
+            )
+        if cs == CmdStatus.PUB_TRAJ:
+            if not self.initialized_output:
+                return None
+            cmd = commander.interpolate_command(
+                self.pre_mpc_output, t_now - self.pre_mpc_start_time,
+                self.cfg.model,
+            )
+            if cmd is None and self.pub_end:
+                self.cmd_status = CmdStatus.PUB_END
+                return self.get_command(t_now)
+            return cmd
+        if cs == CmdStatus.PUB_END:
+            cmd = commander.end_command(
+                self.end_pt, self.pre_mpc_output[self.cfg.model.N - 1, 14:17]
+            )
+            self.initialized_output = False
+            self.cmd_status = CmdStatus.WAIT
+            return cmd
+        return None
