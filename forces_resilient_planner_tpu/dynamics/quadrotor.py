@@ -104,6 +104,103 @@ def continuous_jacobians(
     return At, Bt
 
 
+def _mm3(a, b):
+    """Batched 3x3 matmul as broadcast-sum (VPU-friendly, no MXU padding)."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _rot_factors(rpy):
+    roll, pitch, yaw = rpy[..., 0], rpy[..., 1], rpy[..., 2]
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(cr)
+    o = jnp.ones_like(cr)
+
+    def m(rows):
+        return jnp.stack(
+            [jnp.stack(r, axis=-1) for r in rows], axis=-2
+        )
+
+    Rx = m([[o, z, z], [z, cr, -sr], [z, sr, cr]])
+    dRx = m([[z, z, z], [z, -sr, -cr], [z, cr, -sr]])
+    Ry = m([[cp, z, sp], [z, o, z], [-sp, z, cp]])
+    dRy = m([[-sp, z, cp], [z, z, z], [-cp, z, -sp]])
+    Rz = m([[cy, -sy, z], [sy, cy, z], [z, z, o]])
+    dRz = m([[-sy, -cy, z], [cy, -sy, z], [z, z, z]])
+    return Rx, dRx, Ry, dRy, Rz, dRz
+
+
+def continuous_jacobians_analytic(
+    x: jnp.ndarray, u: jnp.ndarray, cfg: ModelConfig
+):
+    """Closed-form continuous-time Jacobians (Jc (...,9,9), Bc (...,9,4)).
+
+    The batched analytic equivalent of the hand-derived updateMatrix
+    (nmpc_solver.cpp:615-699); built from dR/d(angle) factor products so
+    every op is elementwise over the batch (no autodiff tangent sweeps).
+    """
+    dtype = x.dtype
+    rpy = x[..., 6:9]
+    vel = x[..., 3:6]
+    thrust = u[..., 3]
+    Rx, dRx, Ry, dRy, Rz, dRz = _rot_factors(rpy)
+    R = _mm3(Rz, _mm3(Ry, Rx))
+    dR_r = _mm3(Rz, _mm3(Ry, dRx))
+    dR_p = _mm3(Rz, _mm3(dRy, Rx))
+    dR_y = _mm3(dRz, _mm3(Ry, Rx))
+
+    D = jnp.asarray([cfg.drag_coeff, cfg.drag_coeff, 0.0], dtype)
+    RD = R * D[..., None, :]                       # R @ diag(D)
+    RDRt = _mm3(RD, jnp.swapaxes(R, -1, -2))
+    Tm = (thrust / cfg.mass)[..., None]
+
+    cols = []
+    for dR in (dR_r, dR_p, dR_y):
+        dRD = dR * D[..., None, :]
+        dRDRt = _mm3(dRD, jnp.swapaxes(R, -1, -2)) + _mm3(
+            RD, jnp.swapaxes(dR, -1, -2)
+        )
+        col = dR[..., :, 2] * Tm - jnp.sum(dRDRt * vel[..., None, :], axis=-1)
+        cols.append(col)
+    dv_drpy = jnp.stack(cols, axis=-1)             # (..., 3, 3)
+    dv_dv = -RDRt
+
+    shape = x.shape[:-1]
+    Jc = jnp.zeros(shape + (9, 9), dtype)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), shape + (3, 3))
+    Jc = Jc.at[..., 0:3, 3:6].set(eye3)
+    Jc = Jc.at[..., 3:6, 3:6].set(dv_dv)
+    Jc = Jc.at[..., 3:6, 6:9].set(dv_drpy)
+
+    Bc = jnp.zeros(shape + (9, 4), dtype)
+    Bc = Bc.at[..., 3:6, 3].set(R[..., :, 2] / cfg.mass)
+    Bc = Bc.at[..., 6:9, 0:3].set(eye3)
+    return Jc, Bc
+
+
+def rk2_jacobians_analytic(
+    x: jnp.ndarray, u: jnp.ndarray, f_ext: jnp.ndarray, cfg: ModelConfig
+):
+    """Discrete Heun-step Jacobians via the chain rule:
+        A = I + dt/2 (J1 + J2 + dt J2 J1)
+        B = dt/2 (B1 + B2 + dt J2 B1)
+    with J,B the continuous Jacobians at x and at the Euler midpoint."""
+    dt = cfg.dt
+    k1 = continuous_dynamics(x, u, f_ext, cfg)
+    x_mid = x + dt * k1
+    J1, B1 = continuous_jacobians_analytic(x, u, cfg)
+    J2, B2 = continuous_jacobians_analytic(x_mid, u, cfg)
+
+    def mm9(a, b):
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    eye9 = jnp.eye(9, dtype=x.dtype)
+    A = eye9 + 0.5 * dt * (J1 + J2 + dt * mm9(J2, J1))
+    B = 0.5 * dt * (B1 + B2 + dt * mm9(J2, B1))
+    return A, B
+
+
 def thrust_world_acc(rpy: jnp.ndarray, thrust: jnp.ndarray, cfg: ModelConfig):
     """World-frame acceleration implied by attitude+thrust: R e3 T/m - g e3.
 

@@ -62,11 +62,13 @@ class _State(NamedTuple):
     err: jnp.ndarray
 
 
-def _eq_grad(Z, lam, params, cfg):
+def _eq_grad(Z, lam, params, cfg, jac=None):
     """J_eq^T lam accumulated per stage.  lam[0,:9] = init rows; lam[i+1] =
     dynamics-constraint-i rows (13)."""
     N = Z.shape[0]
-    Ax, Bx = nlp.dynamics_jacobians(Z, params, cfg)  # (N-1,9,9), (N-1,9,4)
+    if jac is None:
+        jac = nlp.dynamics_jacobians(Z, params, cfg)
+    Ax, Bx = jac                                     # (N-1,9,9), (N-1,9,4)
     lam_dyn = lam[1:]                                # (N-1, 13)
     lx, lu = lam_dyn[:, :9], lam_dyn[:, 9:]
     out = jnp.zeros_like(Z)
@@ -85,20 +87,50 @@ def _eq_grad(Z, lam, params, cfg):
     return out, Ax, Bx
 
 
-def _kkt_error(Z, lam, s, mu_d, params, cfg, H, lb, ub, hu, mu):
-    grad_f = nlp.cost_gradient(Z, params, H)
-    eq_g, _, _ = _eq_grad(Z, lam, params, cfg)
+def _kkt_error(Z, lam, s, mu_d, params, cfg, H, lb, ub, hu, mu, jac=None,
+               c=None, g=None, grad_f=None):
+    """Scaled KKT residuals (IPOPT-style s_d/s_c scaling, which is also what
+    FORCES' tolerances are measured against): stationarity and
+    complementarity are divided by a multiplier-magnitude scale so the test
+    is meaningful at f32 precision with O(100) gradients.  Pre-computed
+    linearization pieces can be passed in to avoid re-evaluation."""
+    if grad_f is None:
+        grad_f = nlp.cost_gradient(Z, params, H)
+    eq_g, _, _ = _eq_grad(Z, lam, params, cfg, jac=jac)
     ineq_g = nlp.ineq_jac_T_times(params, mu_d)
     r_stat = grad_f + eq_g + ineq_g
-    c = nlp.dynamics_residuals(Z, params, cfg)
+    if c is None:
+        c = nlp.dynamics_residuals(Z, params, cfg)
     r_init = Z[0, nlp.IX] - params.xinit
-    g = nlp.inequality_residuals(Z, params, lb, ub, hu)
+    if g is None:
+        g = nlp.inequality_residuals(Z, params, lb, ub, hu)
     r_g = g + s
     r_c = s * mu_d - mu
-    stat = jnp.max(jnp.abs(r_stat))
+    s_max = 100.0
+    m_all = (jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(mu_d))) / (
+        lam.size + mu_d.size
+    )
+    s_d = jnp.maximum(s_max, m_all) / s_max
+    s_c = jnp.maximum(s_max, jnp.sum(jnp.abs(mu_d)) / mu_d.size) / s_max
+    # dtype-aware precision floor: the stationarity residual is a cancelling
+    # sum of O(|grad f|) terms, so it cannot be measured below
+    # ~eps * magnitude.  In f64 the floor is irrelevant; in f32 it admits
+    # the achievable optimum (control parity stays ~1e-4, see tests).
+    eps = jnp.asarray(jnp.finfo(Z.dtype).eps, Z.dtype)
+    # pre-cancellation term magnitudes: |H||z| (the rate-cost terms are
+    # O(w_rate * thrust) ~ 1e3 and cancel in the sum), plus multiplier sizes
+    habs = jnp.einsum("nij,nj->ni", jnp.abs(H), jnp.abs(Z))
+    mag = (
+        jnp.max(habs)
+        + jnp.max(jnp.abs(lam))
+        + jnp.max(jnp.abs(mu_d))
+    )
+    tol_ref = jnp.asarray(1e-4, Z.dtype)
+    stat_scale = jnp.maximum(1.0, 4.0 * eps * mag / tol_ref)
+    stat = jnp.max(jnp.abs(r_stat)) / (s_d * stat_scale)
     eq = jnp.maximum(jnp.max(jnp.abs(c)), jnp.max(jnp.abs(r_init)))
     ineq = jnp.max(jnp.abs(r_g))
-    comp = jnp.max(jnp.abs(r_c))
+    comp = jnp.max(jnp.abs(r_c)) / s_c
     return stat, eq, ineq, comp
 
 
@@ -128,14 +160,35 @@ def solve(
     mu_d0 = jnp.clip(mu0 / s0, 1e-6, 1e6)
     lam0 = jnp.zeros((N, NXB), dtype)
 
-    def kkt_err_all(Z, lam, s, mu_d, mu):
-        return _kkt_error(Z, lam, s, mu_d, params, mcfg, H, lb, ub, hu, mu)
-
     def body(st: _State) -> _State:
         Z, lam, s, mu_d, mu = st.Z, st.lam, st.s, st.mu_d, st.mu
 
+        # ---- linearize ONCE at the current point --------------------------
         grad_f = nlp.cost_gradient(Z, params, H)
         g = nlp.inequality_residuals(Z, params, lb, ub, hu)
+        c = nlp.dynamics_residuals(Z, params, mcfg)            # (N-1,13)
+        Ax, Bx = nlp.dynamics_jacobians(Z, params, mcfg)
+
+        # ---- convergence check at the current point -----------------------
+        stat, eq, ineq, comp = _kkt_error(
+            Z, lam, s, mu_d, params, mcfg, H, lb, ub, hu, mu,
+            jac=(Ax, Bx), c=c, g=g, grad_f=grad_f,
+        )
+        s_c0 = jnp.maximum(100.0, jnp.sum(jnp.abs(mu_d)) / mu_d.size) / 100.0
+        comp0 = jnp.max(jnp.abs(s * mu_d)) / s_c0
+        err0 = jnp.max(jnp.stack([stat, eq, ineq, comp0]))
+        done = err0 <= tol
+
+        # barrier update (monotone Fiacco-McCormick / IPOPT rule), based on
+        # the barrier-problem error at the current point
+        err_mu = jnp.max(jnp.stack([stat, eq, ineq, comp]))
+        shrink = err_mu <= 10.0 * mu
+        mu = jnp.where(
+            shrink & ~done,
+            jnp.maximum(tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)),
+            mu,
+        )
+
         r_g = g + s
         sigma = mu_d / s
         # stage Hessian with barrier weighting + primal regularization
@@ -145,16 +198,27 @@ def solve(
         w_vec = mu / s + sigma * r_g
         q = grad_f + nlp.ineq_jac_T_times(params, w_vec)
 
-        # partition to (xbar, u)
-        Wp = W[:, PERM_XBAR[:, None], PERM_XBAR[None, :]]      # (N,13,13) Q
-        Rp = W[:, PERM_U[:, None], PERM_U[None, :]]            # (N,4,4)   R
-        Sp = W[:, PERM_U[:, None], PERM_XBAR[None, :]]         # (N,4,13)  S
-        qx = q[:, PERM_XBAR]
-        qu = q[:, PERM_U]
+        # partition to (xbar, u) with static slices (TPU gathers on minor
+        # dims serialize; concatenated slices stay vectorized)
+        Wxx = W[:, 8:17, 8:17]
+        Wxp = W[:, 8:17, 4:8]
+        Wpx = W[:, 4:8, 8:17]
+        Wpp = W[:, 4:8, 4:8]
+        Wp = jnp.concatenate(
+            [
+                jnp.concatenate([Wxx, Wxp], axis=-1),
+                jnp.concatenate([Wpx, Wpp], axis=-1),
+            ],
+            axis=-2,
+        )                                                      # (N,13,13) Q
+        Rp = W[:, 0:4, 0:4]                                    # (N,4,4)   R
+        Sp = jnp.concatenate(
+            [W[:, 0:4, 8:17], W[:, 0:4, 4:8]], axis=-1
+        )                                                      # (N,4,13)  S
+        qx = jnp.concatenate([q[:, 8:17], q[:, 4:8]], axis=-1)
+        qu = q[:, 0:4]
 
-        # dynamics linearization
-        c = nlp.dynamics_residuals(Z, params, mcfg)            # (N-1,13)
-        Ax, Bx = nlp.dynamics_jacobians(Z, params, mcfg)
+        # dynamics linearization (reuse the jacobians computed above)
         Abar = jnp.zeros((N - 1, NXB, NXB), dtype)
         Abar = Abar.at[:, :9, :9].set(Ax)
         Bbar = jnp.zeros((N - 1, NXB, NU), dtype)
@@ -197,31 +261,23 @@ def solve(
         mu_d_n = mu_d + a_d * dmu
         lam_n = lam + a_d * (lam_plus - lam)
 
-        # barrier update (monotone Fiacco-McCormick / IPOPT rule)
-        stat, eq, ineq, comp = kkt_err_all(Z_n, lam_n, s_n, mu_d_n, mu)
-        err_mu = jnp.max(jnp.stack([stat, eq, ineq, comp]))
-        shrink = err_mu <= 10.0 * mu
-        mu_n = jnp.where(
-            shrink,
-            jnp.maximum(tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)),
-            mu,
+        # if already converged (or the step went bad), keep the checked point
+        bad = ~(
+            jnp.isfinite(err0)
+            & jnp.all(jnp.isfinite(Z_n))
+            & jnp.all(jnp.isfinite(s_n))
         )
-
-        comp0 = jnp.max(jnp.abs(s_n * mu_d_n))
-        err0 = jnp.max(jnp.stack([stat, eq, ineq, comp0]))
-        done = err0 <= tol
-
-        # guard against NaN poisoning: keep previous iterate if step was bad
-        bad = ~jnp.isfinite(err0)
-        Z_n = jnp.where(bad, Z, Z_n)
-        s_n = jnp.where(bad, s, s_n)
-        mu_d_n = jnp.where(bad, mu_d, mu_d_n)
-        lam_n = jnp.where(bad, lam, lam_n)
-        done = jnp.where(bad, True, done)
+        keep = done | bad
+        Z_n = jnp.where(keep, Z, Z_n)
+        s_n = jnp.where(keep, s, s_n)
+        mu_d_n = jnp.where(keep, mu_d, mu_d_n)
+        lam_n = jnp.where(keep, lam, lam_n)
+        err_out = jnp.where(bad & ~done, jnp.asarray(jnp.inf, dtype), err0)
+        done_out = done | bad
 
         return _State(
-            Z=Z_n, lam=lam_n, s=s_n, mu_d=mu_d_n, mu=mu_n,
-            it=st.it + 1, done=done, err=err0,
+            Z=Z_n, lam=lam_n, s=s_n, mu_d=mu_d_n, mu=mu,
+            it=st.it + 1, done=done_out, err=err_out,
         )
 
     def cond(st: _State):

@@ -184,16 +184,15 @@ def dynamics_residuals(Z: jnp.ndarray, p: NLPParams, cfg: ModelConfig):
 
 
 def dynamics_jacobians(Z: jnp.ndarray, p: NLPParams, cfg: ModelConfig):
-    """Per-stage RK2 Jacobians (Ax, Bx) for stages 0..N-2.
+    """Per-stage RK2 Jacobians (Ax, Bx) for stages 0..N-2 (closed form).
 
     Ax: (N-1, 9, 9), Bx: (N-1, 9, 4).
     """
-    def jac(xx, uu):
-        A = jax.jacfwd(lambda q: rk2_step(q, uu, p.f_ext, cfg))(xx)
-        B = jax.jacfwd(lambda q: rk2_step(xx, q, p.f_ext, cfg))(uu)
-        return A, B
+    from forces_resilient_planner_tpu.dynamics.quadrotor import (
+        rk2_jacobians_analytic,
+    )
 
-    return jax.vmap(jac)(Z[:-1, IX], Z[:-1, IU])
+    return rk2_jacobians_analytic(Z[:-1, IX], Z[:-1, IU], p.f_ext, cfg)
 
 
 def inequality_residuals(Z: jnp.ndarray, p: NLPParams, lb, ub, hu: float):
@@ -222,12 +221,23 @@ def ineq_jac_times(p: NLPParams, dz: jnp.ndarray) -> jnp.ndarray:
 
 
 def ineq_weighted_hessian(p: NLPParams, sigma: jnp.ndarray) -> jnp.ndarray:
-    """J_g^T diag(sigma) J_g per stage.  sigma: (N, 64) -> (N, 17, 17)."""
+    """J_g^T diag(sigma) J_g per stage.  sigma: (N, 64) -> (N, 17, 17).
+
+    Written as eye-masked broadcasts and an unrolled 3x3 corridor block so
+    every op is an elementwise reduce over the constraint axis (TPU VPU
+    friendly; einsum/diag lower to slow gathers here).
+    """
     N = sigma.shape[0]
     diag = sigma[:, 0:17] + sigma[:, 17:34]
-    W = jax.vmap(jnp.diag)(diag)
-    # corridor rows touch only the position block
+    W = diag[:, :, None] * jnp.eye(NZ, dtype=sigma.dtype)[None]
+    # corridor rows touch only the position block: sum_k A_kj s_k A_kl
     Acor = p.corridor_A  # (N, nh, 3)
-    blk = jnp.einsum("nkj,nk,nkl->njl", Acor, sigma[:, 34:64], Acor)
+    sc = sigma[:, 34:64]
+    As = Acor * sc[:, :, None]
+    rows = []
+    for j in range(3):
+        cols = [jnp.sum(As[:, :, j] * Acor[:, :, l], axis=1) for l in range(3)]
+        rows.append(jnp.stack(cols, axis=-1))
+    blk = jnp.stack(rows, axis=-2)  # (N, 3, 3)
     W = W.at[:, IPOS, IPOS].add(blk)
     return W
