@@ -97,11 +97,13 @@ def rotate_yaw_command(
 
 def init_yaw_rate(current_yaw: float, init_yaw: float, max_yaw_dot: float) -> float:
     """Wrapped, rate-capped initial yaw rate (callInitYaw, 237-257)."""
+    # the reference's PI constant (nmpc_solver.cpp:3) is 3.1415926 exactly
+    PI = 3.1415926
     d = init_yaw - current_yaw
-    if d > math.pi:
-        d = 2 * math.pi - d
-    elif d < -math.pi:
-        d = d + 2 * math.pi
+    if d > PI:
+        d = 2 * PI - d
+    elif d < -PI:
+        d = d + 2 * PI
     return float(np.clip(d, -max_yaw_dot, max_yaw_dot))
 
 

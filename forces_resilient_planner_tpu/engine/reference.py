@@ -12,7 +12,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_PI = math.pi
+_PI = 3.1415926  # the reference's PI constant, exactly (nmpc_solver.cpp:3)
 
 
 class ReferenceResult(NamedTuple):
