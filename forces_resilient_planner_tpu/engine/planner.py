@@ -137,8 +137,32 @@ class ResilientPlanner:
 
     # ------------------------------------------------------------------ IO
     def on_odometry(self, state: np.ndarray):
-        """9-state odometry [p, v_world, rpy] (odometryCallback)."""
+        """9-state odometry [p, v_world, rpy] (odometryCallback,
+        nmpc_manage.cpp:421-448)."""
         self.odom = np.asarray(state, float).copy()
+        self.have_odom = True
+
+    def on_odometry_body_frame(
+        self, pos: np.ndarray, quat_wxyz: np.ndarray, vel_body: np.ndarray
+    ):
+        """RotorS-style odometry: body-frame velocity rotated to world,
+        quaternion converted to ZYX euler (odometryTransCallback,
+        nmpc_manage.cpp:456-478, selected by nmpc/sim_odom_type)."""
+        w, x, y, z = np.asarray(quat_wxyz, float)
+        R = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        v_world = R @ np.asarray(vel_body, float)
+        roll = np.arctan2(R[2, 1], R[2, 2])
+        pitch = -np.arcsin(np.clip(R[2, 0], -1.0, 1.0))
+        yaw = np.arctan2(R[1, 0], R[0, 0])
+        self.odom = np.concatenate(
+            [np.asarray(pos, float), v_world, [roll, pitch, yaw]]
+        )
         self.have_odom = True
 
     def on_external_force(self, force: np.ndarray):

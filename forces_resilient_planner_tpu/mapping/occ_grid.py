@@ -293,3 +293,37 @@ def occupied_cloud(grid: OccGrid, cfg: MapConfig, max_points: int):
         jnp.stack([ix, iy, iz], axis=-1).astype(grid.buffer.dtype) + 0.5
     ) * cfg.resolution + origin
     return pts, mask
+
+
+def project_depth_shift_filter(
+    depth: jnp.ndarray,        # current metric depth (rows, cols)
+    R_wc: jnp.ndarray, t_wc: jnp.ndarray,
+    last_depth: jnp.ndarray,   # previous frame
+    last_R_wc: jnp.ndarray, last_t_wc: jnp.ndarray,
+    cfg: MapConfig,
+    fx: float, fy: float, cx: float, cy: float,
+):
+    """Temporal-consistency ("shift") depth filter
+    (projectDepthImage use_shift_filter branch, occ_map.cpp:357-430).
+
+    Each unprojected point is reprojected into the previous camera frame; it
+    is kept if the previous depth there agrees within
+    depth_filter_tolerance, or if it reprojects outside the previous image
+    (a newly-revealed point).  Returns (points (M,3), valid (M,)).
+    """
+    pw, valid = project_depth(depth, R_wc, t_wc, cfg, fx, fy, cx, cy)
+    # reproject into the last camera frame
+    rel = pw - last_t_wc[None]
+    pc = jnp.einsum("ji,nj->ni", last_R_wc, rel)   # R^T (p - t)
+    z = pc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    uu = pc[:, 0] * fx / safe_z + cx
+    vv = pc[:, 1] * fy / safe_z + cy
+    rows, cols = depth.shape
+    in_img = (uu >= 0) & (uu < cols) & (vv >= 0) & (vv < rows) & (z > 0)
+    ui = jnp.clip(uu.astype(jnp.int32), 0, cols - 1)
+    vi = jnp.clip(vv.astype(jnp.int32), 0, rows - 1)
+    drift = jnp.abs(last_depth[vi, ui] - z)
+    consistent = drift < cfg.depth_filter_tolerance
+    keep = valid & (jnp.where(in_img, consistent, True))
+    return pw, keep

@@ -558,3 +558,98 @@ def get_kino_traj(
     size = jnp.minimum(jnp.sum(all_valid.astype(jnp.int32)), max_samples)
     out = jnp.where(jnp.arange(max_samples)[:, None] < size, out, out[0][None])
     return out, size
+
+
+# ---------------------------------------------------------------------------
+# auxiliary path queries (getCurPos / getSamples,
+# kinodynamic_astar.cpp:593-806) — cold-path host utilities kept for API
+# parity; the planner's hot path uses get_kino_traj.
+# ---------------------------------------------------------------------------
+def get_cur_pos(result: SearchResult, ext_acc, index_time: float,
+                max_tau: float, end_pt) -> np.ndarray:
+    """Position at a time offset along the path (getCurPos, 593-643).
+
+    Mirrors the reference's assumption that every edge has duration max_tau
+    (it indexes state_list with index_time / max_tau_).
+    """
+    ext = np.asarray(ext_acc, float)
+    n_edges = int(result.n_edges)
+    states = np.asarray(result.edge_states, float)
+    inputs = np.asarray(result.edge_inputs, float)
+    if index_time < n_edges * max_tau:
+        k = int(index_time / max_tau)
+        tau = index_time % max_tau
+        x0 = states[k]
+        a = inputs[k] + ext
+        return x0[:3] + x0[3:] * tau + 0.5 * tau * tau * a
+    t_shot = float(result.shot_time)
+    coef = np.asarray(result.shot_coef, float)
+    if index_time < n_edges * max_tau + t_shot:
+        if bool(result.shot_ok):
+            tau = index_time - n_edges * max_tau
+            tv = np.array([1.0, tau, tau**2, tau**3])
+            return coef @ tv
+        return np.asarray(result.term_state[:3], float)
+    if bool(result.shot_ok):
+        return np.asarray(end_pt, float)
+    return np.asarray(result.term_state[:3], float)
+
+
+def get_samples(result: SearchResult, ext_acc, ts: float):
+    """Uniform resampling with boundary derivatives (getSamples, 699-806).
+
+    Returns (point_set list root->goal, [start_vel, end_vel, start_acc,
+    end_acc]).
+    """
+    ext = np.asarray(ext_acc, float)
+    n_edges = int(result.n_edges)
+    durs = np.asarray(result.edge_durs, float)[:n_edges]
+    states = np.asarray(result.edge_states, float)[:n_edges]
+    inputs = np.asarray(result.edge_inputs, float)[:n_edges]
+    shot_ok = bool(result.shot_ok)
+    t_shot = float(result.shot_time) if shot_ok else 0.0
+    coef = np.asarray(result.shot_coef, float)
+
+    T_sum = float(durs.sum()) + t_shot
+    if T_sum <= 0:
+        return [], []
+    K = int(T_sum / ts)
+    ts_eff = T_sum / (K + 1)
+
+    pts = []
+    seg = n_edges  # n_edges = shot segment marker; edges are 0..n_edges-1
+    t = t_shot if shot_ok else (durs[-1] if n_edges else 0.0)
+    if not shot_ok:
+        seg = n_edges - 1
+    ti = T_sum
+    while ti > -1e-5:
+        if shot_ok and seg == n_edges:
+            tv = np.array([1.0, t, t**2, t**3])
+            pts.append(coef @ tv)
+            t -= ts_eff
+            if t < -1e-5:
+                seg -= 1
+                if seg >= 0:
+                    t += durs[seg]
+        else:
+            x0 = states[seg]
+            a = inputs[seg] + ext
+            pts.append(x0[:3] + x0[3:] * t + 0.5 * t * t * a)
+            t -= ts_eff
+            if t < -1e-5 and seg > 0:
+                seg -= 1
+                t += durs[seg]
+        ti -= ts_eff
+    pts.reverse()
+
+    start_vel = states[0, 3:] if n_edges else np.zeros(3)
+    if shot_ok:
+        end_vel = coef @ np.array([0.0, 1.0, 2 * t_shot, 3 * t_shot**2])
+        end_acc = coef @ np.array([0.0, 0.0, 2.0, 6 * t_shot])
+    else:
+        last = states[-1] if n_edges else np.zeros(6)
+        end_vel = last[3:] + durs[-1] * (inputs[-1] + ext) if n_edges else np.zeros(3)
+        end_acc = inputs[-1] if n_edges else np.zeros(3)
+    start_acc = inputs[0] if n_edges else np.zeros(3)
+    return pts, [np.asarray(start_vel), np.asarray(end_vel),
+                 np.asarray(start_acc), np.asarray(end_acc)]

@@ -1,0 +1,147 @@
+"""Self-contained HTML scene dumps for debugging solves.
+
+The reference's observability is rviz topics (corridor polyhedra, uncertainty
+ellipsoids, reference/NMPC trajectories rendered by the vendored plugins,
+decomp_ros_utils/src/*).  This module writes the same information as a single
+offline HTML file with an embedded top-down/side canvas viewer — zero
+dependencies, works over any file transfer.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>resilient planner scene</title>
+<style>
+ body {{ font-family: monospace; background: #111; color: #ddd; margin: 1em; }}
+ canvas {{ background: #181818; border: 1px solid #333; }}
+ .row {{ display: flex; gap: 1em; }}
+</style></head><body>
+<h3>forces_resilient_planner_tpu scene dump</h3>
+<div class="row">
+ <div><div>top view (x-y)</div><canvas id="xy" width="640" height="640"></canvas></div>
+ <div><div>side view (x-z)</div><canvas id="xz" width="640" height="400"></canvas></div>
+</div>
+<pre id="meta"></pre>
+<script>
+const D = {data};
+function draw(id, ax0, ax1) {{
+  const cv = document.getElementById(id), ctx = cv.getContext('2d');
+  const pts = [].concat(D.obstacles, D.ref, D.traj, D.kino || []);
+  let mn=[1e9,1e9], mx=[-1e9,-1e9];
+  for (const p of pts) {{
+    mn[0]=Math.min(mn[0],p[ax0]); mn[1]=Math.min(mn[1],p[ax1]);
+    mx[0]=Math.max(mx[0],p[ax0]); mx[1]=Math.max(mx[1],p[ax1]);
+  }}
+  const pad=0.8; mn[0]-=pad; mn[1]-=pad; mx[0]+=pad; mx[1]+=pad;
+  const sx = cv.width/(mx[0]-mn[0]), sy = cv.height/(mx[1]-mn[1]);
+  const s = Math.min(sx, sy);
+  const X = p => (p[ax0]-mn[0])*s, Y = p => cv.height-(p[ax1]-mn[1])*s;
+  ctx.fillStyle = '#666';
+  for (const p of D.obstacles) ctx.fillRect(X(p)-1.5, Y(p)-1.5, 3, 3);
+  function poly(line, color, w) {{
+    ctx.strokeStyle = color; ctx.lineWidth = w; ctx.beginPath();
+    line.forEach((p,i) => i ? ctx.lineTo(X(p),Y(p)) : ctx.moveTo(X(p),Y(p)));
+    ctx.stroke();
+  }}
+  if (D.kino && D.kino.length) poly(D.kino, '#4c8fcc', 1.5);
+  poly(D.ref, '#3c78aa', 1);
+  poly(D.traj, '#cc4444', 2);
+  // ellipsoid radii as circles at trajectory points
+  ctx.strokeStyle = '#888844';
+  for (let i = 0; i < D.traj.length; i++) {{
+    const r = D.ellipsoid_r[i] * s;
+    ctx.beginPath(); ctx.arc(X(D.traj[i]), Y(D.traj[i]), r, 0, 6.283); ctx.stroke();
+  }}
+  // corridor wall intersections with this plane are drawn as chords around
+  // each stage reference point
+  ctx.strokeStyle = '#44aa66'; ctx.lineWidth = 0.6;
+  for (const seg of D.corridor_segs[id] || []) {{
+    ctx.beginPath(); ctx.moveTo(X(seg[0]), Y(seg[0]));
+    ctx.lineTo(X(seg[1]), Y(seg[1])); ctx.stroke();
+  }}
+  ctx.fillStyle = '#44cc44';
+  const g = D.goal; ctx.fillRect(X(g)-4, Y(g)-4, 8, 8);
+}}
+draw('xy', 0, 1); draw('xz', 0, 2);
+document.getElementById('meta').textContent = JSON.stringify(D.meta, null, 1);
+</script></body></html>
+"""
+
+
+def _corridor_chords(A, b, centers, axes, half_len=2.5):
+    """For each stage, intersect each corridor plane with the view plane
+    through the stage center: draw a chord of the wall line."""
+    segs = []
+    ax0, ax1 = axes
+    for i in range(len(centers)):
+        c = centers[i]
+        for j in range(A.shape[1]):
+            n = A[i, j]
+            if np.linalg.norm(n) < 1e-9:
+                continue
+            n2 = np.array([n[ax0], n[ax1]])
+            nn = np.linalg.norm(n2)
+            if nn < 1e-6:
+                continue
+            n2 /= nn
+            # distance from center to the wall along n2 (projected)
+            d = (b[i, j] - A[i, j] @ c) / nn
+            if not (0 <= d <= 3.0):
+                continue
+            p0 = np.array([c[ax0], c[ax1]]) + d * n2
+            t = np.array([-n2[1], n2[0]])
+            a_pt = p0 - half_len * t
+            b_pt = p0 + half_len * t
+            def lift(q):
+                out = [0.0, 0.0, 0.0]
+                out[ax0], out[ax1] = float(q[0]), float(q[1])
+                return out
+            segs.append([lift(a_pt), lift(b_pt)])
+    return segs
+
+
+def dump_scene(
+    path: str | Path,
+    traj: np.ndarray,            # (N, 3) NMPC positions
+    ref: np.ndarray,             # (N, 3) references
+    goal: np.ndarray,
+    obstacles: np.ndarray | None = None,
+    corridor_A: np.ndarray | None = None,   # (N, nh, 3)
+    corridor_b: np.ndarray | None = None,
+    tube_E: np.ndarray | None = None,       # (N, 3, 3)
+    kino_path: np.ndarray | None = None,
+    meta: dict | None = None,
+):
+    traj = np.asarray(traj, float)
+    ref = np.asarray(ref, float)
+    ell_r = (
+        [float(np.linalg.norm(E, 2)) for E in np.asarray(tube_E)]
+        if tube_E is not None
+        else [0.0] * len(traj)
+    )
+    segs = {"xy": [], "xz": []}
+    if corridor_A is not None:
+        A = np.asarray(corridor_A)
+        b = np.asarray(corridor_b)
+        segs["xy"] = _corridor_chords(A, b, ref, (0, 1))
+        segs["xz"] = _corridor_chords(A, b, ref, (0, 2))
+    data = {
+        "traj": traj.tolist(),
+        "ref": ref.tolist(),
+        "goal": np.asarray(goal, float).tolist(),
+        "obstacles": (
+            np.asarray(obstacles, float).tolist() if obstacles is not None else []
+        ),
+        "ellipsoid_r": ell_r,
+        "corridor_segs": segs,
+        "kino": (
+            np.asarray(kino_path, float).tolist() if kino_path is not None else []
+        ),
+        "meta": meta or {},
+    }
+    Path(path).write_text(_TEMPLATE.format(data=json.dumps(data)))
+    return Path(path)
