@@ -50,9 +50,36 @@ class Ellipsoid(NamedTuple):
     d: jnp.ndarray  # (3,)
 
 
+def inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / det).
+
+    TPU note: jnp.linalg.inv lowers to pivoted LU — a large HLO that blows
+    up compile time when it appears inside scan bodies (the decomposition
+    loops call it every iteration).  The adjugate form is ~30 elementwise
+    ops and keeps compiles fast.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = -(d * i - f * g)
+    co02 = d * h - e * g
+    det = a * co00 + b * co01 + c * co02
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([co01, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([co02, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def ellipsoid_dist(E: Ellipsoid, pts: jnp.ndarray) -> jnp.ndarray:
     """||C^{-1}(p - d)|| (decomp_geometry/ellipsoid.h:19-21)."""
-    Cinv = jnp.linalg.inv(E.C)
+    Cinv = inv3(E.C)
     q = jnp.einsum("ij,nj->ni", Cinv, pts - E.d[None], precision=_PREC)
     return jnp.linalg.norm(q, axis=-1)
 
@@ -173,7 +200,7 @@ def find_polyhedron(
     decomp_base.h:71-74 keeps < 0).
     """
     dtype = obs.dtype
-    Cinv = jnp.linalg.inv(E.C)
+    Cinv = inv3(E.C)
     M = Cinv @ Cinv.T
 
     def round_fn(remain, _):
