@@ -1,0 +1,236 @@
+"""Pallas TPU kernel: lane-major block-tridiagonal Riccati LQR solve.
+
+The IPM's equality-constrained QP step (solver/riccati.py,
+solve_lqr_batched) is a 20-stage backward Riccati sweep + forward rollout
++ costate recursion over (13, 13, BATCH) lane-major stacks.  Under XLA the
+`lax.scan` writes its carry (P: 13x13xB) and the K-gain stack back to HBM
+on every stage and re-reads them, so the sweep is HBM-bandwidth-bound.
+
+This kernel runs the *entire* solve for a 128-lane batch tile inside VMEM:
+grid = (B / 128,), every stage matrix stack for the tile (~5 MB) is staged
+into VMEM once, the three sweeps run with zero HBM traffic for
+intermediates, and only the solution (dxb, du, nu, dtheta) leaves the
+chip's vector memory.
+
+Math is identical to solver/riccati.py::solve_lqr_batched (which remains
+the XLA fallback and the oracle for the interpret-mode parity tests in
+tests/test_ops.py).  The factorization replaces FORCES Pro's
+'symm_indefinite_fast' stagewise solver (reference
+matlab_code/mpc/normal/mpc_generator_normal.m:66).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from forces_resilient_planner_tpu.solver.nlp import NXB, NU
+
+LANES = 128  # f32 lane width; batch tile per kernel instance
+
+
+# ---- in-kernel small linear algebra (operands are (i, j, LANES) stacks) ----
+
+def _mm(a, b):
+    """(i, j, L) @ (j, k, L) -> (i, k, L) as j unrolled broadcast FMAs.
+
+    Pure-slice indexing only: mixed integer/newaxis indexing lowers to a
+    gather, which Mosaic does not support beyond 2D.
+    """
+    acc = a[:, 0:1, :] * b[0:1]
+    for j in range(1, a.shape[1]):
+        acc = acc + a[:, j:j + 1, :] * b[j:j + 1]
+    return acc
+
+
+def _mv(a, v):
+    """(i, j, L) @ (j, L) -> (i, L)."""
+    return jnp.sum(a * v[None], axis=1)
+
+
+def _t(a):
+    return jnp.swapaxes(a, 0, 1)
+
+
+def _chol4(A):
+    """Unrolled Cholesky factors of a (4, 4, L) SPD stack."""
+    eps = jnp.asarray(1e-30, A.dtype)
+    l00 = jnp.sqrt(jnp.maximum(A[0, 0], eps))
+    l10 = A[1, 0] / l00
+    l20 = A[2, 0] / l00
+    l30 = A[3, 0] / l00
+    l11 = jnp.sqrt(jnp.maximum(A[1, 1] - l10 * l10, eps))
+    l21 = (A[2, 1] - l20 * l10) / l11
+    l31 = (A[3, 1] - l30 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(A[2, 2] - l20 * l20 - l21 * l21, eps))
+    l32 = (A[3, 2] - l30 * l20 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[3, 3] - l30 * l30 - l31 * l31 - l32 * l32, eps))
+    return (l00, l10, l20, l30, l11, l21, l31, l22, l32, l33)
+
+
+def _chol4_solve(f, Bm):
+    """Solve L L^T X = B with factors f, B of shape (4, k, L)."""
+    (l00, l10, l20, l30, l11, l21, l31, l22, l32, l33) = f
+    b0, b1, b2, b3 = Bm[0], Bm[1], Bm[2], Bm[3]
+    y0 = b0 / l00[None]
+    y1 = (b1 - l10[None] * y0) / l11[None]
+    y2 = (b2 - l20[None] * y0 - l21[None] * y1) / l22[None]
+    y3 = (b3 - l30[None] * y0 - l31[None] * y1 - l32[None] * y2) / l33[None]
+    x3 = y3 / l33[None]
+    x2 = (y2 - l32[None] * x3) / l22[None]
+    x1 = (y1 - l21[None] * x2 - l31[None] * x3) / l11[None]
+    x0 = (y0 - l10[None] * x1 - l20[None] * x2 - l30[None] * x3) / l00[None]
+    return jnp.stack([x0, x1, x2, x3], axis=0)
+
+
+def _lqr_kernel(
+    Q_ref, R_ref, S_ref, qx_ref, qu_ref, A_ref, B_ref, c_ref, dx0_ref,
+    dxb_ref, du_ref, nu_ref, dtheta_ref,
+    K_scr, k_scr,
+):
+    N = Q_ref.shape[0]
+
+    # ---- terminal stage: eliminate u_{N-1} --------------------------------
+    S_term = S_ref[N - 1]                                   # (4, 13, L)
+    f_term = _chol4(R_ref[N - 1])
+    RiS = _chol4_solve(f_term, S_term)                      # (4, 13, L)
+    Riqu = _chol4_solve(f_term, qu_ref[N - 1][:, None])[:, 0]
+    P = Q_ref[N - 1] - _mm(_t(S_term), RiS)
+    p = qx_ref[N - 1] - _mv(_t(S_term), Riqu)
+    P_term, p_term = P, p
+
+    # ---- backward sweep i = N-2 .. 0 (unrolled; N is static) --------------
+    for i in range(N - 2, -1, -1):
+        Ai, Bi, ci = A_ref[i], B_ref[i], c_ref[i]
+        Pc = p + _mv(P, ci)
+        AtP = _mm(_t(Ai), P)
+        BtP = _mm(_t(Bi), P)
+        Qh = Q_ref[i] + _mm(AtP, Ai)
+        Rh = R_ref[i] + _mm(BtP, Bi)
+        Sh = S_ref[i] + _mm(BtP, Ai)
+        qxh = qx_ref[i] + _mv(_t(Ai), Pc)
+        quh = qu_ref[i] + _mv(_t(Bi), Pc)
+        fh = _chol4(Rh)
+        K = -_chol4_solve(fh, Sh)                           # (4, 13, L)
+        k = -_chol4_solve(fh, quh[:, None])[:, 0]           # (4, L)
+        K_scr[i] = K
+        k_scr[i] = k
+        Pn = Qh + _mm(_t(Sh), K)
+        P = 0.5 * (Pn + _t(Pn))
+        p = qxh + _mv(_t(Sh), k)
+
+    # ---- stage-0 free u_prev (theta): xinitidx = states only --------------
+    Pxt = P[:9, 9:]                                         # (9, 4, L)
+    Ptt = P[9:, 9:]                                         # (4, 4, L)
+    pt = p[9:]
+    dx0 = dx0_ref[:]                                        # (9, L)
+    rhs = -(pt + _mv(_t(Pxt), dx0))
+    dtheta = _chol4_solve(_chol4(Ptt), rhs[:, None])[:, 0]
+    dtheta_ref[:] = dtheta
+    dxb = jnp.concatenate([dx0, dtheta], axis=0)            # (13, L)
+
+    # ---- forward rollout ---------------------------------------------------
+    for i in range(N - 1):
+        du = _mv(K_scr[i], dxb) + k_scr[i]
+        dxb_ref[i] = dxb
+        du_ref[i] = du
+        dxb = _mv(A_ref[i], dxb) + _mv(B_ref[i], du) + c_ref[i]
+    dxb_ref[N - 1] = dxb
+    du_term = -(Riqu + _mv(RiS, dxb))
+    du_ref[N - 1] = du_term
+
+    # ---- costates nu_i = Q_i dxb_i + S_i^T du_i + qx_i + A_i^T nu_{i+1} ----
+    nu = _mv(P_term, dxb) + p_term
+    nu_ref[N - 1] = nu
+    for i in range(N - 2, -1, -1):
+        nu = (
+            _mv(Q_ref[i], dxb_ref[i])
+            + _mv(_t(S_ref[i]), du_ref[i])
+            + qx_ref[i]
+            + _mv(_t(A_ref[i]), nu)
+        )
+        nu_ref[i] = nu
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_lqr_lanes(Q, R, S, qx, qu, A, B, c, dx0, *, interpret: bool = False):
+    """Lane-major LQR solve via the Pallas kernel.
+
+    Shapes (trailing batch Bn, padded here to a multiple of 128):
+      Q (N,13,13,Bn)  R (N,4,4,Bn)  S (N,4,13,Bn)  qx (N,13,Bn)  qu (N,4,Bn)
+      A (N-1,13,13,Bn)  B (N-1,13,4,Bn)  c (N-1,13,Bn)  dx0 (9,Bn)
+    Returns (dxb (N,13,Bn), du (N,4,Bn), nu (N,13,Bn), dtheta (4,Bn)).
+    """
+    N = Q.shape[0]
+    Bn = Q.shape[-1]
+    dtype = Q.dtype
+    pad = (-Bn) % LANES
+    if pad:
+        padf = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        # pad the Q/R diagonals with identity so padded lanes stay SPD
+        eye4 = jnp.eye(NU, dtype=dtype)[None, :, :, None]
+        eye13 = jnp.eye(NXB, dtype=dtype)[None, :, :, None]
+        Q = padf(Q).at[..., Bn:].add(eye13)
+        R = padf(R).at[..., Bn:].add(eye4)
+        S, qx, qu, A, B, c, dx0 = map(padf, (S, qx, qu, A, B, c, dx0))
+    Bp = Bn + pad
+    grid = (Bp // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape[:-1] + (LANES,),
+            lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, NXB, Bp), dtype),   # dxb
+        jax.ShapeDtypeStruct((N, NU, Bp), dtype),    # du
+        jax.ShapeDtypeStruct((N, NXB, Bp), dtype),   # nu
+        jax.ShapeDtypeStruct((NU, Bp), dtype),       # dtheta
+    )
+    dxb, du, nu, dtheta = pl.pallas_call(
+        _lqr_kernel,
+        grid=grid,
+        in_specs=[
+            spec(Q.shape), spec(R.shape), spec(S.shape), spec(qx.shape),
+            spec(qu.shape), spec(A.shape), spec(B.shape), spec(c.shape),
+            spec(dx0.shape),
+        ],
+        out_specs=tuple(spec(s.shape) for s in out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((N - 1, NU, NXB, LANES), dtype),  # K gains
+            pltpu.VMEM((N - 1, NU, LANES), dtype),       # k offsets
+        ],
+        interpret=interpret,
+    )(Q, R, S, qx, qu, A, B, c, dx0)
+    if pad:
+        dxb, du, nu, dtheta = (
+            dxb[..., :Bn], du[..., :Bn], nu[..., :Bn], dtheta[..., :Bn]
+        )
+    return dxb, du, nu, dtheta
+
+
+def _env_flag(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v not in ("0", "false", "False", "")
+
+
+def pallas_lqr_enabled(dtype, batch: int) -> bool:
+    """Route the batched LQR through the Pallas kernel?  TPU + f32 + a batch
+    large enough that a 128-lane tile is not mostly padding; overridable via
+    FRP_PALLAS_LQR=0/1."""
+    default = (
+        jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+        and batch >= LANES
+    )
+    return _env_flag("FRP_PALLAS_LQR", default)

@@ -329,6 +329,13 @@ def _solve_lqr_vmap(axis_size, in_batched, Q, R, S, qx, qu, A, B, c, dx0):
         return jnp.broadcast_to(x[..., None], x.shape + (axis_size,))
 
     ll = [to_ll(x, b) for x, b in zip(args, in_batched)]
-    sol = solve_lqr_batched(*ll)
+    # TPU hot path: the Pallas kernel runs the whole sweep in VMEM per
+    # 128-lane tile (ops/lqr_pallas.py); XLA lane-major scan is the fallback.
+    from forces_resilient_planner_tpu.ops import lqr_pallas
+
+    if lqr_pallas.pallas_lqr_enabled(Q.dtype, axis_size):
+        sol = LQRSolution(*lqr_pallas.solve_lqr_lanes(*ll))
+    else:
+        sol = solve_lqr_batched(*ll)
     out = LQRSolution(*[jnp.moveaxis(f, -1, 0) for f in sol])
     return out, LQRSolution(dxb=True, du=True, nu=True, dtheta=True)

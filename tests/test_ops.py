@@ -1,0 +1,106 @@
+"""Parity tests for the Pallas TPU kernels (interpret mode on CPU).
+
+Oracle: the XLA lane-major implementation solver/riccati.py::
+solve_lqr_batched, which is itself parity-tested against the dense KKT
+solve (test_solver_parity.py).  The kernel must be bit-for-bit the same
+algorithm, so tolerances here are tight.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forces_resilient_planner_tpu.ops import lqr_pallas
+from forces_resilient_planner_tpu.solver import riccati
+from forces_resilient_planner_tpu.solver.nlp import NXB, NU
+
+
+def _random_lqr(rng, N, Bn, dtype):
+    """Well-conditioned random LQR data in lane-major layout."""
+    def spd(n, scale):
+        M = rng.standard_normal((N, n, n, Bn))
+        A = np.einsum("nikb,njkb->nijb", M, M) / n + scale * np.eye(n)[None, :, :, None]
+        return A
+
+    Q = spd(NXB, 1.0)
+    R = spd(NU, 1.0)
+    S = 0.1 * rng.standard_normal((N, NU, NXB, Bn))
+    qx = rng.standard_normal((N, NXB, Bn))
+    qu = rng.standard_normal((N, NU, Bn))
+    A = np.eye(NXB)[None, :, :, None] + 0.05 * rng.standard_normal(
+        (N - 1, NXB, NXB, Bn)
+    )
+    B = 0.1 * rng.standard_normal((N - 1, NXB, NU, Bn))
+    c = 0.01 * rng.standard_normal((N - 1, NXB, Bn))
+    dx0 = rng.standard_normal((9, Bn))
+    return tuple(jnp.asarray(x, dtype) for x in (Q, R, S, qx, qu, A, B, c, dx0))
+
+
+@pytest.mark.parametrize("Bn", [128, 96])  # aligned + padded tile
+def test_pallas_lqr_matches_xla_lane_major(Bn):
+    rng = np.random.default_rng(0)
+    args = _random_lqr(rng, N=20, Bn=Bn, dtype=jnp.float64)
+    ref = riccati.solve_lqr_batched(*args)
+    out = lqr_pallas.solve_lqr_lanes(*args, interpret=True)
+    for got, want, name in zip(out, ref, ["dxb", "du", "nu", "dtheta"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-9,
+            err_msg=name,
+        )
+
+
+def test_pallas_lqr_solves_kkt_conditions():
+    """Independent check: the kernel's output satisfies the LQR KKT system
+    (dynamics feasibility + stationarity via costates), not just parity."""
+    rng = np.random.default_rng(1)
+    Bn = 128
+    args = _random_lqr(rng, N=8, Bn=Bn, dtype=jnp.float64)
+    Q, R, S, qx, qu, A, B, c, dx0 = args
+    dxb, du, nu, dtheta = lqr_pallas.solve_lqr_lanes(*args, interpret=True)
+    dxb = np.moveaxis(np.asarray(dxb), -1, 0)   # (B, N, 13)
+    du = np.moveaxis(np.asarray(du), -1, 0)
+    nu = np.moveaxis(np.asarray(nu), -1, 0)
+    Qb = np.moveaxis(np.asarray(Q), -1, 0)
+    Rb = np.moveaxis(np.asarray(R), -1, 0)
+    Sb = np.moveaxis(np.asarray(S), -1, 0)
+    qxb = np.moveaxis(np.asarray(qx), -1, 0)
+    qub = np.moveaxis(np.asarray(qu), -1, 0)
+    Ab = np.moveaxis(np.asarray(A), -1, 0)
+    Bb = np.moveaxis(np.asarray(B), -1, 0)
+    cb = np.moveaxis(np.asarray(c), -1, 0)
+    dx0b = np.moveaxis(np.asarray(dx0), -1, 0)
+
+    # initial condition: states fixed, u_prev free
+    np.testing.assert_allclose(dxb[:, 0, :9], dx0b, atol=1e-12)
+    # dynamics feasibility
+    pred = (
+        np.einsum("bnij,bnj->bni", Ab, dxb[:, :-1])
+        + np.einsum("bnij,bnj->bni", Bb, du[:, :-1])
+        + cb
+    )
+    np.testing.assert_allclose(pred, dxb[:, 1:], atol=1e-8)
+    # input stationarity: R du + S dxb + qu + B^T nu_{i+1} = 0
+    r_u = (
+        np.einsum("bnij,bnj->bni", Rb[:, :-1], du[:, :-1])
+        + np.einsum("bnij,bnj->bni", Sb[:, :-1], dxb[:, :-1])
+        + qub[:, :-1]
+        + np.einsum("bnji,bnj->bni", Bb, nu[:, 1:])
+    )
+    np.testing.assert_allclose(r_u, 0.0, atol=1e-8)
+    # terminal input stationarity (no dynamics out of stage N-1)
+    r_uT = (
+        np.einsum("bij,bj->bi", Rb[:, -1], du[:, -1])
+        + np.einsum("bij,bj->bi", Sb[:, -1], dxb[:, -1])
+        + qub[:, -1]
+    )
+    np.testing.assert_allclose(r_uT, 0.0, atol=1e-8)
+    # free-theta stationarity: theta rows of nu_0 must vanish
+    np.testing.assert_allclose(nu[:, 0, 9:], 0.0, atol=1e-8)
+
+
+def test_routing_flag(monkeypatch):
+    assert not lqr_pallas.pallas_lqr_enabled(jnp.float32, 8)  # CPU backend
+    monkeypatch.setenv("FRP_PALLAS_LQR", "1")
+    assert lqr_pallas.pallas_lqr_enabled(jnp.float64, 8)
+    monkeypatch.setenv("FRP_PALLAS_LQR", "0")
+    assert not lqr_pallas.pallas_lqr_enabled(jnp.float32, 4096)
