@@ -28,29 +28,31 @@ def main():
 
     dev = jax.devices()[0]
     halves = np.array([[5.0, 5.0, 2.0]])
+    n_goals, n_forces = 256, 16
+    B = n_goals * n_forces * len(halves)
 
-    def scenario_set(seed, n_goals=256, n_forces=16):
+    def seeds(seed):
         rng = np.random.default_rng(seed)
         goals = rng.uniform([-3, -3, 1.0], [3, 3, 1.6], (n_goals, 3))
         forces = rng.uniform(-1.5, 1.5, (n_forces, 3))
-        return bm.make_scenarios(C, goals, forces, halves, dtype=jnp.float32)
+        return goals, forces
 
-    # compile
-    sc0 = scenario_set(1)
-    B = sc0.batch
-    r = bm.solve_scenarios(sc0, C)
+    # compile (scenario expansion is fused into the solve: only the scenario
+    # seeds — a few KB — cross the host-device boundary per call)
+    g0, f0 = seeds(1)
+    r = bm.solve_scenario_grid(C, g0, f0, halves)
     _ = np.asarray(r.Z)
 
-    # timed: fresh scenario sets each call (the runtime caches identical
+    # timed: fresh scenario seeds each call (the runtime caches identical
     # executions); host sync via np.asarray each call
     reps = 8
-    sets = [scenario_set(1000 + s) for s in range(reps)]
+    sets = [seeds(1000 + s) for s in range(reps)]
     lat = []
     solved = 0
     iters = []
-    for sc in sets:
+    for g, f in sets:
         t0 = time.perf_counter()
-        r = bm.solve_scenarios(sc, C)
+        r = bm.solve_scenario_grid(C, g, f, halves)
         ec = np.asarray(r.exit_code)
         lat.append(time.perf_counter() - t0)
         solved += int(ec.sum())

@@ -93,6 +93,114 @@ def make_scenarios(
     return ScenarioSet(Z0=Z0, params=params)
 
 
+def _expand_scenarios_device(
+    cfg: PlannerConfig,
+    x0: jnp.ndarray,       # (9,)
+    goals: jnp.ndarray,    # (G, 3)
+    forces: jnp.ndarray,   # (F, 3)
+    halves: jnp.ndarray,   # (Cc, 3)
+    weights: nlp.StageWeights,  # per-stage (N, ...) tables
+) -> ScenarioSet:
+    """Device-side cartesian scenario expansion (jit-traceable).
+
+    The host transfers only the scenario *seeds* (a few KB); the ~60 MB of
+    per-scenario NLP parameters (corridor rows, references, warm starts) are
+    materialized on-chip.  This is the framework's host-to-device parameter
+    staging path (SURVEY.md section 2.4): the reference pushes 2600 doubles
+    per solve through FORCES param structs (forces_normal.cpp:74-137); here
+    the per-solve parameter block never crosses the PCIe/DCN boundary.
+    """
+    mcfg = cfg.model
+    N, nh = mcfg.N, mcfg.nh
+    dtype = goals.dtype
+    G, F, Cc = goals.shape[0], forces.shape[0], halves.shape[0]
+    B = G * F * Cc
+
+    g = jnp.repeat(goals, F * Cc, axis=0)                    # (B, 3)
+    f = jnp.tile(jnp.repeat(forces, Cc, axis=0), (G, 1))     # (B, 3)
+    ch = jnp.tile(halves, (G * F, 1))                        # (B, 3)
+
+    ref_pos = jnp.broadcast_to(g[:, None, :], (B, N, 3))
+    dirv = g[:, :2] - x0[None, :2]
+    yaw = jnp.where(
+        jnp.linalg.norm(dirv, axis=-1) > 1e-6,
+        jnp.arctan2(dirv[:, 1], dirv[:, 0]),
+        0.0,
+    )
+    ref_yaw = jnp.broadcast_to(yaw[:, None], (B, N))
+
+    centers = 0.5 * (x0[None, :3] + g)
+    eye = jnp.eye(3, dtype=dtype)
+    A_one = jnp.zeros((nh, 3), dtype).at[0:6:2].set(eye).at[1:6:2].set(-eye)
+    A = jnp.broadcast_to(A_one[None, None], (B, N, nh, 3))
+    b_one = jnp.zeros((B, nh), dtype)
+    b_one = b_one.at[:, 0:6:2].set(centers + ch)
+    b_one = b_one.at[:, 1:6:2].set(-(centers - ch))
+    b = jnp.broadcast_to(b_one[:, None, :], (B, N, nh))
+
+    weights_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), weights
+    )
+    Z0 = jnp.broadcast_to(
+        hover_warm_start(x0, mcfg)[None], (B, N, nlp.NZ)
+    )
+    params = nlp.NLPParams(
+        xinit=jnp.broadcast_to(x0[None], (B, 9)),
+        ref_pos=ref_pos, ref_yaw=ref_yaw, f_ext=f,
+        corridor_A=A, corridor_b=b, weights=weights_b,
+    )
+    return ScenarioSet(Z0=Z0, params=params)
+
+
+_jitted_sweeps: dict = {}
+
+
+def solve_scenario_grid(
+    cfg: PlannerConfig,
+    goals: np.ndarray,
+    forces: np.ndarray,
+    corridor_halves: np.ndarray,
+    x0: np.ndarray | None = None,
+    dtype=jnp.float32,
+) -> ipm.SolveResult:
+    """Expand-and-solve fused in one jit: only the scenario seeds cross the
+    host-device boundary.  Compiled once per (G, F, Cc, config) shape."""
+    mcfg = cfg.model
+    if x0 is None:
+        x0 = np.zeros(9)
+        x0[2] = 1.2
+    key = (id(cfg), goals.shape, forces.shape, corridor_halves.shape,
+           str(dtype))
+    if key not in _jitted_sweeps:
+        weights = nlp.make_stage_weights(
+            cfg.weights, mcfg.N, final=False, dtype=dtype
+        )
+
+        # Two dispatches on purpose: expansion and solve fused into ONE XLA
+        # program measured 4.3x slower end-to-end (the compiler scheduled the
+        # expanded parameter tensors poorly around the IPM while-loop, and an
+        # optimization_barrier did not recover it).  As separate executables
+        # the expansion materializes once (~30 ms incl. dispatch) and the
+        # solve runs at full speed; scenario data still never crosses the
+        # host-device boundary.
+        expand = jax.jit(
+            lambda x0_, g_, f_, h_: jax.tree.map(
+                lambda a: a + 0.0,
+                _expand_scenarios_device(cfg, x0_, g_, f_, h_, weights),
+            )
+        )
+        solve = jax.jit(
+            lambda Z0, p: ipm.solve_batch(Z0, p, cfg.model, cfg.solver)
+        )
+        _jitted_sweeps[key] = (expand, solve)
+    expand, solve = _jitted_sweeps[key]
+    scen = expand(
+        jnp.asarray(x0, dtype), jnp.asarray(goals, dtype),
+        jnp.asarray(forces, dtype), jnp.asarray(corridor_halves, dtype),
+    )
+    return solve(scen.Z0, scen.params)
+
+
 _jitted_solvers: dict = {}
 
 

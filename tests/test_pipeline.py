@@ -104,3 +104,40 @@ def test_goal_reached_flag():
     inp["kino_path"] = jnp.tile(jnp.asarray(np.array([[0.0, 0.0, 1.2]])), (128, 1))
     res = pipeline.nmpc_step(**inp, cfg=C)
     assert bool(res.goal_reached)
+
+
+def test_device_scenario_expansion_matches_host():
+    """solve_scenario_grid's on-device cartesian expansion must produce the
+    identical parameter set as the host-side make_scenarios builder."""
+    import jax.numpy as jnp
+    import numpy as np
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C
+    from forces_resilient_planner_tpu.engine import batch as bm
+    from forces_resilient_planner_tpu.solver import nlp
+
+    rng = np.random.default_rng(7)
+    goals = rng.uniform([-2, -2, 1.0], [2, 2, 1.5], (3, 3))
+    forces = rng.uniform(-1.0, 1.0, (2, 3))
+    halves = np.array([[5.0, 5.0, 2.0], [3.0, 4.0, 1.5]])
+    x0 = np.zeros(9)
+    x0[2] = 1.2
+
+    host = bm.make_scenarios(C, goals, forces, halves, dtype=jnp.float64)
+    weights = nlp.make_stage_weights(
+        C.weights, C.model.N, final=False, dtype=jnp.float64
+    )
+    dev = bm._expand_scenarios_device(
+        C, jnp.asarray(x0, jnp.float64), jnp.asarray(goals, jnp.float64),
+        jnp.asarray(forces, jnp.float64), jnp.asarray(halves, jnp.float64),
+        weights,
+    )
+    np.testing.assert_allclose(np.asarray(dev.Z0), np.asarray(host.Z0), atol=1e-12)
+    for name in nlp.NLPParams._fields:
+        a, b = getattr(dev.params, name), getattr(host.params, name)
+        if name == "weights":
+            for f_a, f_b in zip(a, b):
+                np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), atol=1e-12)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-12, err_msg=name
+            )
