@@ -209,3 +209,81 @@ def test_empty_scene_gives_bbox_only():
     mid = (p1 + p2) / 2
     margins = b[np.linalg.norm(A, axis=1) > 1e-9] - A[np.linalg.norm(A, axis=1) > 1e-9] @ mid
     assert margins.min() > 0.9  # ~1.0 (z walls) and ~2.0 (xy walls)
+
+
+def test_polyhedron_vertices_unit_cube():
+    import numpy as np
+    from forces_resilient_planner_tpu.corridor.geometry import polyhedron_vertices
+
+    A = np.vstack([np.eye(3), -np.eye(3)])
+    b = np.ones(6)
+    pf = polyhedron_vertices(A, b)
+    assert pf.vertices.shape == (8, 3)
+    want = {tuple(v) for v in
+            np.array(np.meshgrid([-1, 1], [-1, 1], [-1, 1])).reshape(3, -1).T}
+    got = {tuple(np.round(v, 9)) for v in pf.vertices}
+    assert got == want
+    assert len(pf.faces) == 6
+    for face in pf.faces:
+        assert face.shape == (4, 3)
+        # ring-sorted: consecutive vertices share an edge (distance 2, not
+        # the diagonal 2*sqrt(2))
+        d = np.linalg.norm(np.roll(face, -1, axis=0) - face, axis=1)
+        np.testing.assert_allclose(d, 2.0, atol=1e-9)
+
+
+def test_polyhedron_vertices_masked_rows_and_simplex():
+    import numpy as np
+    from forces_resilient_planner_tpu.corridor.geometry import polyhedron_vertices
+
+    # simplex x,y,z >= 0, x+y+z <= 1, padded with zero rows (masked slots)
+    A = np.vstack([-np.eye(3), np.ones((1, 3)), np.zeros((26, 3))])
+    b = np.concatenate([np.zeros(3), [1.0], np.zeros(26)])
+    pf = polyhedron_vertices(A, b)
+    assert pf.vertices.shape == (4, 3)
+    assert len(pf.faces) == 4
+
+
+def test_vec3_to_rotation():
+    import numpy as np
+    from forces_resilient_planner_tpu.corridor.geometry import vec3_to_rotation
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        v = rng.standard_normal(3)
+        R = vec3_to_rotation(v)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+        # x-axis maps onto v's direction
+        np.testing.assert_allclose(R[:, 0], v / np.linalg.norm(v), atol=1e-12)
+        # zero roll: the body-y axis stays horizontal
+        np.testing.assert_allclose(R[2, 1], 0.0, atol=1e-12)
+
+
+def test_msgs_roundtrip_and_constraints():
+    import numpy as np
+    from forces_resilient_planner_tpu.corridor.msgs import (
+        EllipsoidMsg, PolyhedronMsg, SceneMsg,
+    )
+
+    rng = np.random.default_rng(5)
+    A = np.vstack([np.eye(3), -np.eye(3), [[1.0, 1.0, 0.0]]])
+    b = np.array([2.0, 2.0, 1.0, 0.0, 0.0, 0.0, 2.5])
+    poly = PolyhedronMsg.from_constraints(A, b)
+    A2, b2 = poly.to_constraints()
+    # same half-spaces after row normalization
+    nn = np.linalg.norm(A, axis=-1)
+    np.testing.assert_allclose(A2, A / nn[:, None], atol=1e-12)
+    np.testing.assert_allclose(b2, b / nn, atol=1e-12)
+
+    ell = EllipsoidMsg(d=rng.standard_normal(3), E=rng.standard_normal((3, 3)))
+    scene = SceneMsg(
+        polyhedra=[poly], ellipsoids=[ell],
+        traj=rng.standard_normal((5, 3)), ref=rng.standard_normal((5, 3)),
+        meta={"tick": 7},
+    )
+    back = SceneMsg.from_json(scene.to_json())
+    np.testing.assert_allclose(back.ellipsoids[0].E, ell.E, atol=1e-15)
+    np.testing.assert_allclose(back.polyhedra[0].points, poly.points, atol=1e-15)
+    np.testing.assert_allclose(back.traj, scene.traj, atol=1e-15)
+    assert back.meta == {"tick": 7}
