@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from forces_resilient_planner_tpu.config import PlannerConfig
-from forces_resilient_planner_tpu.solver import ipm, nlp
+from forces_resilient_planner_tpu.solver import ipm, ipm_lanes, nlp
 from forces_resilient_planner_tpu.solver.problems import (
     box_corridor,
     hover_warm_start,
@@ -190,7 +190,7 @@ def solve_scenario_grid(
             )
         )
         solve = jax.jit(
-            lambda Z0, p: ipm.solve_batch(Z0, p, cfg.model, cfg.solver)
+            lambda Z0, p: ipm_lanes.solve_batch_lanes(Z0, p, cfg.model, cfg.solver)
         )
         _jitted_sweeps[key] = (expand, solve)
     expand, solve = _jitted_sweeps[key]
@@ -211,7 +211,7 @@ def solve_scenarios(
     key = id(cfg)
     if key not in _jitted_solvers:
         _jitted_solvers[key] = jax.jit(
-            lambda Z0, params: ipm.solve_batch(Z0, params, cfg.model, cfg.solver)
+            lambda Z0, params: ipm_lanes.solve_batch_lanes(Z0, params, cfg.model, cfg.solver)
         )
     return _jitted_solvers[key](scen.Z0, scen.params)
 

@@ -1,0 +1,63 @@
+"""Parity: the lane-major batched IPM (solver/ipm_lanes.py) must reproduce
+vmap(ipm.solve) lane for lane — same exit codes, same iteration counts,
+and the same iterates to roundoff (the update formulas are identical; only
+array layout and reduction order differ)."""
+import jax.numpy as jnp
+import numpy as np
+
+from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C
+from forces_resilient_planner_tpu.engine import batch as bm
+from forces_resilient_planner_tpu.solver import ipm, ipm_lanes
+
+
+def _scenarios(dtype=jnp.float64):
+    rng = np.random.default_rng(11)
+    goals = rng.uniform([-2.5, -2.5, 1.0], [2.5, 2.5, 1.6], (4, 3))
+    forces = np.vstack([[0.0, 0.0, 0.0], rng.uniform(-1.5, 1.5, (2, 3))])
+    halves = np.array([[5.0, 5.0, 2.0], [2.0, 3.0, 1.2]])
+    return bm.make_scenarios(C, goals, forces, halves, dtype=dtype)
+
+
+def test_lane_major_ipm_matches_vmap_solve():
+    sc = _scenarios()
+    ref = ipm.solve_batch(sc.Z0, sc.params, C.model, C.solver)
+    got = ipm_lanes.solve_batch_lanes(sc.Z0, sc.params, C.model, C.solver)
+
+    np.testing.assert_array_equal(
+        np.asarray(got.exit_code), np.asarray(ref.exit_code)
+    )
+    assert (np.asarray(ref.exit_code) == 1).all()
+    np.testing.assert_array_equal(np.asarray(got.iters), np.asarray(ref.iters))
+    np.testing.assert_allclose(
+        np.asarray(got.Z), np.asarray(ref.Z), rtol=1e-8, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.kkt_error), np.asarray(ref.kkt_error),
+        rtol=1e-6, atol=1e-10,
+    )
+
+
+def test_lane_major_ipm_f32_controls_close():
+    sc64 = _scenarios(jnp.float64)
+    sc32 = _scenarios(jnp.float32)
+    ref = ipm.solve_batch(sc64.Z0, sc64.params, C.model, C.solver)
+    got = ipm_lanes.solve_batch_lanes(sc32.Z0, sc32.params, C.model, C.solver)
+    assert (np.asarray(got.exit_code) == 1).all()
+    d = np.max(np.abs(np.asarray(got.Z[:, :, 0:4], float)
+                      - np.asarray(ref.Z[:, :, 0:4])))
+    assert d < 1e-3, d
+
+
+def test_lane_major_nan_isolation():
+    """A poisoned lane (NaN f_ext) must fail alone; its neighbors solve."""
+    sc = _scenarios()
+    f = np.asarray(sc.params.f_ext).copy()
+    f[2] = np.nan
+    params = sc.params._replace(f_ext=jnp.asarray(f))
+    got = ipm_lanes.solve_batch_lanes(sc.Z0, params, C.model, C.solver)
+    ec = np.asarray(got.exit_code)
+    assert ec[2] == 0
+    ok = np.ones(len(ec), bool)
+    ok[2] = False
+    assert (ec[ok] == 1).all()
+    assert np.isfinite(np.asarray(got.Z)[ok]).all()
