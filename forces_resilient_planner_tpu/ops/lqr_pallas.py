@@ -87,107 +87,158 @@ def _chol4_solve(f, Bm):
     return jnp.stack([x0, x1, x2, x3], axis=0)
 
 
-def _lqr_kernel(
-    Q_ref, R_ref, S_ref, qx_ref, qu_ref, A_ref, B_ref, c_ref, dx0_ref,
-    dxb_ref, du_ref, nu_ref, dtheta_ref,
-    K_scr, k_scr,
-):
-    N = Q_ref.shape[0]
+def _chol4_pack(A):
+    """Packed (10, L) Cholesky factors of a (4, 4, L) SPD stack."""
+    return jnp.stack(_chol4(A), axis=0)
 
-    # ---- terminal stage: eliminate u_{N-1} --------------------------------
+
+def _chol4_solve_packed(f, Bm):
+    """Solve against packed factors f (10, L); B of shape (4, k, L)."""
+    return _chol4_solve(tuple(f[i] for i in range(10)), Bm)
+
+
+def _lqr_factor_kernel(
+    Q_ref, R_ref, S_ref, A_ref, B_ref,
+    P_ref, K_ref, cRh_ref, RiS_ref, cRt_ref,
+):
+    """Riccati matrix sweep: store the cost-to-go stack P_i, the gains K_i
+    and the packed Cholesky factors of Rh_i so backsolves can be replayed
+    against multiple right-hand sides (Mehrotra predictor-corrector)."""
+    N = Q_ref.shape[0]
     S_term = S_ref[N - 1]                                   # (4, 13, L)
     f_term = _chol4(R_ref[N - 1])
     RiS = _chol4_solve(f_term, S_term)                      # (4, 13, L)
-    Riqu = _chol4_solve(f_term, qu_ref[N - 1][:, None])[:, 0]
+    cRt_ref[:] = jnp.stack(f_term, axis=0)
+    RiS_ref[:] = RiS
     P = Q_ref[N - 1] - _mm(_t(S_term), RiS)
-    p = qx_ref[N - 1] - _mv(_t(S_term), Riqu)
-    P_term, p_term = P, p
+    P_ref[N - 1] = P
 
-    # ---- backward sweep i = N-2 .. 0 (unrolled; N is static) --------------
     for i in range(N - 2, -1, -1):
-        Ai, Bi, ci = A_ref[i], B_ref[i], c_ref[i]
-        Pc = p + _mv(P, ci)
+        Ai, Bi = A_ref[i], B_ref[i]
         AtP = _mm(_t(Ai), P)
         BtP = _mm(_t(Bi), P)
         Qh = Q_ref[i] + _mm(AtP, Ai)
         Rh = R_ref[i] + _mm(BtP, Bi)
         Sh = S_ref[i] + _mm(BtP, Ai)
-        qxh = qx_ref[i] + _mv(_t(Ai), Pc)
-        quh = qu_ref[i] + _mv(_t(Bi), Pc)
         fh = _chol4(Rh)
         K = -_chol4_solve(fh, Sh)                           # (4, 13, L)
-        k = -_chol4_solve(fh, quh[:, None])[:, 0]           # (4, L)
-        K_scr[i] = K
-        k_scr[i] = k
+        K_ref[i] = K
+        cRh_ref[i] = jnp.stack(fh, axis=0)
         Pn = Qh + _mm(_t(Sh), K)
         P = 0.5 * (Pn + _t(Pn))
-        p = qxh + _mv(_t(Sh), k)
+        P_ref[i] = P
 
-    # ---- stage-0 free u_prev (theta): xinitidx = states only --------------
-    Pxt = P[:9, 9:]                                         # (9, 4, L)
-    Ptt = P[9:, 9:]                                         # (4, 4, L)
-    pt = p[9:]
+
+def _lqr_solve_kernel(
+    P_ref, K_ref, cRh_ref, RiS_ref, cRt_ref,
+    A_ref, B_ref, c_ref, qx_ref, qu_ref, dx0_ref,
+    dxb_ref, du_ref, nu_ref, dtheta_ref,
+    p_scr, k_scr,
+):
+    """Vector backsolve against a stored factorization.
+
+    Backward pass: p_i = qxh_i + K_i^T quh_i (Sh^T k = K^T quh since
+    K = -Rh^{-1} Sh); costates from nu_i = P_i dxb_i + p_i.
+    """
+    N = qx_ref.shape[0]
+    RiS = RiS_ref[:]
+    Riqu = _chol4_solve_packed(cRt_ref[:], qu_ref[N - 1][:, None])[:, 0]
+    p = qx_ref[N - 1] - _mv(_t(RiS), qu_ref[N - 1])
+    p_scr[N - 1] = p
+
+    for i in range(N - 2, -1, -1):
+        Pc = p + _mv(P_ref[i + 1], c_ref[i])
+        qxh = qx_ref[i] + _mv(_t(A_ref[i]), Pc)
+        quh = qu_ref[i] + _mv(_t(B_ref[i]), Pc)
+        k = -_chol4_solve_packed(cRh_ref[i], quh[:, None])[:, 0]
+        k_scr[i] = k
+        p = qxh + _mv(_t(K_ref[i]), quh)
+        p_scr[i] = p
+
+    # stage-0 free u_prev (theta): xinitidx = states only
+    P0 = P_ref[0]
+    Pxt = P0[:9, 9:]                                        # (9, 4, L)
+    Ptt = P0[9:, 9:]                                        # (4, 4, L)
     dx0 = dx0_ref[:]                                        # (9, L)
-    rhs = -(pt + _mv(_t(Pxt), dx0))
+    rhs = -(p[9:] + _mv(_t(Pxt), dx0))
     dtheta = _chol4_solve(_chol4(Ptt), rhs[:, None])[:, 0]
     dtheta_ref[:] = dtheta
     dxb = jnp.concatenate([dx0, dtheta], axis=0)            # (13, L)
 
-    # ---- forward rollout ---------------------------------------------------
     for i in range(N - 1):
-        du = _mv(K_scr[i], dxb) + k_scr[i]
+        du = _mv(K_ref[i], dxb) + k_scr[i]
         dxb_ref[i] = dxb
         du_ref[i] = du
+        nu_ref[i] = _mv(P_ref[i], dxb) + p_scr[i]
         dxb = _mv(A_ref[i], dxb) + _mv(B_ref[i], du) + c_ref[i]
     dxb_ref[N - 1] = dxb
-    du_term = -(Riqu + _mv(RiS, dxb))
-    du_ref[N - 1] = du_term
+    du_ref[N - 1] = -(Riqu + _mv(RiS, dxb))
+    nu_ref[N - 1] = _mv(P_ref[N - 1], dxb) + p_scr[N - 1]
 
-    # ---- costates nu_i = Q_i dxb_i + S_i^T du_i + qx_i + A_i^T nu_{i+1} ----
-    nu = _mv(P_term, dxb) + p_term
-    nu_ref[N - 1] = nu
-    for i in range(N - 2, -1, -1):
-        nu = (
-            _mv(Q_ref[i], dxb_ref[i])
-            + _mv(_t(S_ref[i]), du_ref[i])
-            + qx_ref[i]
-            + _mv(_t(A_ref[i]), nu)
-        )
-        nu_ref[i] = nu
+
+def _spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(
+        shape[:-1] + (LANES,),
+        lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _pad_lanes(Bn):
+    return (-Bn) % LANES
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def solve_lqr_lanes(Q, R, S, qx, qu, A, B, c, dx0, *, interpret: bool = False):
-    """Lane-major LQR solve via the Pallas kernel.
-
-    Shapes (trailing batch Bn, padded here to a multiple of 128):
-      Q (N,13,13,Bn)  R (N,4,4,Bn)  S (N,4,13,Bn)  qx (N,13,Bn)  qu (N,4,Bn)
-      A (N-1,13,13,Bn)  B (N-1,13,4,Bn)  c (N-1,13,Bn)  dx0 (9,Bn)
-    Returns (dxb (N,13,Bn), du (N,4,Bn), nu (N,13,Bn), dtheta (4,Bn)).
-    """
+def lqr_factor_lanes(Q, R, S, A, B, *, interpret: bool = False):
+    """Factor kernel wrapper.  Returns (P, K, cRh, RiS, cRt) lane-major
+    stacks (padded lanes get identity Q/R so the factors stay SPD)."""
     N = Q.shape[0]
     Bn = Q.shape[-1]
     dtype = Q.dtype
-    pad = (-Bn) % LANES
+    pad = _pad_lanes(Bn)
     if pad:
         padf = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-        # pad the Q/R diagonals with identity so padded lanes stay SPD
         eye4 = jnp.eye(NU, dtype=dtype)[None, :, :, None]
         eye13 = jnp.eye(NXB, dtype=dtype)[None, :, :, None]
-        Q = padf(Q).at[..., Bn:].add(eye13)
-        R = padf(R).at[..., Bn:].add(eye4)
-        S, qx, qu, A, B, c, dx0 = map(padf, (S, qx, qu, A, B, c, dx0))
+        Q = padf(Q) + jnp.where(
+            jnp.arange(Bn + pad) >= Bn, 1.0, 0.0
+        ).astype(dtype) * eye13
+        R = padf(R) + jnp.where(
+            jnp.arange(Bn + pad) >= Bn, 1.0, 0.0
+        ).astype(dtype) * eye4
+        S, A, B = map(padf, (S, A, B))
     Bp = Bn + pad
-    grid = (Bp // LANES,)
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, NXB, NXB, Bp), dtype),   # P
+        jax.ShapeDtypeStruct((N - 1, NU, NXB, Bp), dtype),  # K
+        jax.ShapeDtypeStruct((N - 1, 10, Bp), dtype),     # cRh
+        jax.ShapeDtypeStruct((NU, NXB, Bp), dtype),       # RiS
+        jax.ShapeDtypeStruct((10, Bp), dtype),            # cRt
+    )
+    return pl.pallas_call(
+        _lqr_factor_kernel,
+        grid=(Bp // LANES,),
+        in_specs=[_spec(x.shape) for x in (Q, R, S, A, B)],
+        out_specs=tuple(_spec(s.shape) for s in out_shapes),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(Q, R, S, A, B)
 
-    def spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape[:-1] + (LANES,),
-            lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
-            memory_space=pltpu.VMEM,
-        )
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lqr_backsolve_lanes(fac, A, B, c, qx, qu, dx0, *, interpret: bool = False):
+    """Vector-solve kernel wrapper.  fac = (P, K, cRh, RiS, cRt) from
+    lqr_factor_lanes (already lane-padded); rhs arrays are padded here."""
+    P, K, cRh, RiS, cRt = fac
+    N = qx.shape[0]
+    Bn = qx.shape[-1]
+    dtype = qx.dtype
+    pad = P.shape[-1] - Bn
+    if pad:
+        padf = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        A, B, c, qx, qu, dx0 = map(padf, (A, B, c, qx, qu, dx0))
+    Bp = Bn + pad
     out_shapes = (
         jax.ShapeDtypeStruct((N, NXB, Bp), dtype),   # dxb
         jax.ShapeDtypeStruct((N, NU, Bp), dtype),    # du
@@ -195,26 +246,38 @@ def solve_lqr_lanes(Q, R, S, qx, qu, A, B, c, dx0, *, interpret: bool = False):
         jax.ShapeDtypeStruct((NU, Bp), dtype),       # dtheta
     )
     dxb, du, nu, dtheta = pl.pallas_call(
-        _lqr_kernel,
-        grid=grid,
+        _lqr_solve_kernel,
+        grid=(Bp // LANES,),
         in_specs=[
-            spec(Q.shape), spec(R.shape), spec(S.shape), spec(qx.shape),
-            spec(qu.shape), spec(A.shape), spec(B.shape), spec(c.shape),
-            spec(dx0.shape),
+            _spec(x.shape)
+            for x in (P, K, cRh, RiS, cRt, A, B, c, qx, qu, dx0)
         ],
-        out_specs=tuple(spec(s.shape) for s in out_shapes),
+        out_specs=tuple(_spec(s.shape) for s in out_shapes),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((N - 1, NU, NXB, LANES), dtype),  # K gains
-            pltpu.VMEM((N - 1, NU, LANES), dtype),       # k offsets
+            pltpu.VMEM((N, NXB, LANES), dtype),      # p stack
+            pltpu.VMEM((N - 1, NU, LANES), dtype),   # k offsets
         ],
         interpret=interpret,
-    )(Q, R, S, qx, qu, A, B, c, dx0)
+    )(P, K, cRh, RiS, cRt, A, B, c, qx, qu, dx0)
     if pad:
         dxb, du, nu, dtheta = (
             dxb[..., :Bn], du[..., :Bn], nu[..., :Bn], dtheta[..., :Bn]
         )
     return dxb, du, nu, dtheta
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_lqr_lanes(Q, R, S, qx, qu, A, B, c, dx0, *, interpret: bool = False):
+    """Lane-major LQR solve via the Pallas factor + backsolve kernels.
+
+    Shapes (trailing batch Bn, padded here to a multiple of 128):
+      Q (N,13,13,Bn)  R (N,4,4,Bn)  S (N,4,13,Bn)  qx (N,13,Bn)  qu (N,4,Bn)
+      A (N-1,13,13,Bn)  B (N-1,13,4,Bn)  c (N-1,13,Bn)  dx0 (9,Bn)
+    Returns (dxb (N,13,Bn), du (N,4,Bn), nu (N,13,Bn), dtheta (4,Bn)).
+    """
+    fac = lqr_factor_lanes(Q, R, S, A, B, interpret=interpret)
+    return lqr_backsolve_lanes(fac, A, B, c, qx, qu, dx0, interpret=interpret)
 
 
 def _env_flag(name: str, default: bool) -> bool:

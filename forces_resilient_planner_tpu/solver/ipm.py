@@ -36,7 +36,11 @@ from forces_resilient_planner_tpu.solver.nlp import (
     PERM_XBAR,
     PERM_U,
 )
-from forces_resilient_planner_tpu.solver.riccati import solve_lqr
+from forces_resilient_planner_tpu.solver.riccati import (
+    lqr_factor,
+    lqr_solve,
+    solve_lqr,
+)
 
 _PREC = jax.lax.Precision.HIGHEST
 

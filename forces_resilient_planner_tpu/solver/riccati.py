@@ -39,6 +39,27 @@ class LQRSolution(NamedTuple):
     dtheta: jnp.ndarray # (4,) stage-0 u_prev step
 
 
+class LQRFactor(NamedTuple):
+    """Reusable Riccati factorization of the KKT matrix (everything that
+    depends only on (Q, R, S, A, B), not on the right-hand side).
+
+    Backsolves against a stored factor cost O(N 13^2 B) vs O(N 13^3 B) for
+    the factorization itself, which is what makes the Mehrotra
+    predictor-corrector step (two RHS per IPM iteration) nearly free.
+    Matches the factor/solve split inside FORCES' 'symm_indefinite_fast'
+    stagewise solver (mpc_generator_normal.m:66).
+
+    Shapes below are the single-problem ones; lane-major variants carry a
+    trailing batch axis.
+    """
+
+    P: jnp.ndarray      # (N, 13, 13) cost-to-go Hessians (P[i] at stage i)
+    K: jnp.ndarray      # (N-1, 4, 13) feedback gains
+    cRh: jnp.ndarray    # (N-1, 10) packed Cholesky factors of Rh_i
+    RiS: jnp.ndarray    # (4, 13) terminal R^{-1} S
+    cRt: jnp.ndarray    # (10,) packed terminal Cholesky of R_{N-1}
+
+
 def _chol4(A):
     """Unrolled Cholesky of a 4x4 SPD matrix.
 
@@ -85,6 +106,88 @@ def spd_solve4(A, B):
     return jnp.stack([x0, x1, x2, x3], axis=-2)
 
 
+def chol4_solve(f, Bm):
+    """Substitution against packed factors f (..., 10); B (..., 4, k)."""
+    l = [f[..., i, None] for i in range(10)]
+    l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = l
+    b0, b1, b2, b3 = Bm[..., 0, :], Bm[..., 1, :], Bm[..., 2, :], Bm[..., 3, :]
+    y0 = b0 / l00
+    y1 = (b1 - l10 * y0) / l11
+    y2 = (b2 - l20 * y0 - l21 * y1) / l22
+    y3 = (b3 - l30 * y0 - l31 * y1 - l32 * y2) / l33
+    x3 = y3 / l33
+    x2 = (y2 - l32 * x3) / l22
+    x1 = (y1 - l21 * x2 - l31 * x3) / l11
+    x0 = (y0 - l10 * x1 - l20 * x2 - l30 * x3) / l00
+    return jnp.stack([x0, x1, x2, x3], axis=-2)
+
+
+def lqr_factor(Q, R, S, A, B) -> LQRFactor:
+    """Riccati factorization, single problem (shapes as in solve_lqr)."""
+    cRt = jnp.stack(_chol4(R[-1]), axis=-1)                # (10,)
+    RiS = chol4_solve(cRt, S[-1])                          # (4, 13)
+    P_term = Q[-1] - _mm(S[-1].T, RiS)
+
+    def backward(P, inp):
+        Qi, Ri, Si, Ai, Bi = inp
+        AtP = _mm(Ai.T, P)
+        BtP = _mm(Bi.T, P)
+        Qh = Qi + _mm(AtP, Ai)
+        Rh = Ri + _mm(BtP, Bi)
+        Sh = Si + _mm(BtP, Ai)
+        fh = jnp.stack(_chol4(Rh), axis=-1)                # (10,)
+        K = -chol4_solve(fh, Sh)
+        Pn = Qh + _mm(Sh.T, K)
+        Pn = 0.5 * (Pn + Pn.T)
+        return Pn, (Pn, K, fh)
+
+    _, (Ps, Ks, cRhs) = jax.lax.scan(
+        backward, P_term, (Q[:-1], R[:-1], S[:-1], A, B), reverse=True
+    )
+    P_all = jnp.concatenate([Ps, P_term[None]], axis=0)
+    return LQRFactor(P=P_all, K=Ks, cRh=cRhs, RiS=RiS, cRt=cRt)
+
+
+def lqr_solve(fac: LQRFactor, A, B, c, qx, qu, dx0) -> LQRSolution:
+    """Backsolve one RHS against a stored factorization (single problem).
+    Same math as lqr_solve_ll; see there for the identities used."""
+    Riqu = chol4_solve(fac.cRt, qu[-1][:, None])[:, 0]
+    p_term = qx[-1] - _mm(fac.RiS.T, qu[-1][:, None])[:, 0]
+
+    def backward(p, inp):
+        P_next, Ki, cRhi, qxi, qui, Ai, Bi, ci = inp
+        Pc = p + _mm(P_next, ci[:, None])[:, 0]
+        qxh = qxi + _mm(Ai.T, Pc[:, None])[:, 0]
+        quh = qui + _mm(Bi.T, Pc[:, None])[:, 0]
+        k = -chol4_solve(cRhi, quh[:, None])[:, 0]
+        pn = qxh + _mm(Ki.T, quh[:, None])[:, 0]
+        return pn, (pn, k)
+
+    inputs = (fac.P[1:], fac.K, fac.cRh, qx[:-1], qu[:-1], A, B, c)
+    p0, (ps, ks) = jax.lax.scan(backward, p_term, inputs, reverse=True)
+    p_all = jnp.concatenate([ps, p_term[None]], axis=0)
+
+    P0 = fac.P[0]
+    Ptt = P0[9:, 9:]
+    rhs = -(p0[9:] + _mm(P0[:9, 9:].T, dx0[:, None])[:, 0])
+    dtheta = spd_solve4(Ptt, rhs[:, None])[:, 0]
+    dxb0 = jnp.concatenate([dx0, dtheta])
+
+    def forward(dxb, inp):
+        Ki, ki, Ai, Bi, ci = inp
+        du = _mm(Ki, dxb[:, None])[:, 0] + ki
+        nxt = _mm(Ai, dxb[:, None])[:, 0] + _mm(Bi, du[:, None])[:, 0] + ci
+        return nxt, (dxb, du)
+
+    dxb_last, (dxbs, dus) = jax.lax.scan(forward, dxb0, (fac.K, ks, A, B, c))
+    du_term = -(Riqu + _mm(fac.RiS, dxb_last[:, None])[:, 0])
+    dxb_all = jnp.concatenate([dxbs, dxb_last[None]], axis=0)
+    du_all = jnp.concatenate([dus, du_term[None]], axis=0)
+
+    nu_all = jnp.einsum("nij,nj->ni", fac.P, dxb_all, precision=_PREC) + p_all
+    return LQRSolution(dxb=dxb_all, du=du_all, nu=nu_all, dtheta=dtheta)
+
+
 @jax.custom_batching.custom_vmap
 def solve_lqr(
     Q: jnp.ndarray,    # (N, 13, 13)
@@ -97,94 +200,8 @@ def solve_lqr(
     c: jnp.ndarray,    # (N-1, 13)
     dx0: jnp.ndarray,  # (9,) fixed initial state part
 ) -> LQRSolution:
-    N = Q.shape[0]
-    dtype = Q.dtype
-
-    # ---- terminal stage: eliminate u_{N-1} (no dynamics out of it) -------
-    sol_term = spd_solve4(
-        R[-1], jnp.concatenate([S[-1], qu[-1][:, None]], axis=-1)
-    )
-    RiS, Riqu = sol_term[:, :NXB], sol_term[:, NXB]
-    P_term = Q[-1] - _mm(S[-1].T, RiS)
-    p_term = qx[-1] - _mm(S[-1].T, Riqu[:, None])[:, 0]
-
-    # ---- backward sweep over i = N-2 .. 0 --------------------------------
-    def backward(carry, inp):
-        P, p = carry
-        Qi, Ri, Si, qxi, qui, Ai, Bi, ci = inp
-        Pc = p + _mm(P, ci[:, None])[:, 0]
-        AtP = _mm(Ai.T, P)
-        BtP = _mm(Bi.T, P)
-        Qh = Qi + _mm(AtP, Ai)
-        Rh = Ri + _mm(BtP, Bi)
-        Sh = Si + _mm(BtP, Ai)
-        qxh = qxi + _mm(Ai.T, Pc[:, None])[:, 0]
-        quh = qui + _mm(Bi.T, Pc[:, None])[:, 0]
-        sol = spd_solve4(Rh, jnp.concatenate([Sh, quh[:, None]], axis=-1))
-        K = -sol[:, :NXB]                                       # (4, 13)
-        k = -sol[:, NXB]                                        # (4,)
-        Pn = Qh + _mm(Sh.T, K)
-        Pn = 0.5 * (Pn + Pn.T)
-        pn = qxh + _mm(Sh.T, k[:, None])[:, 0]
-        return (Pn, pn), (K, k)
-
-    inputs = (Q[:-1], R[:-1], S[:-1], qx[:-1], qu[:-1], A, B, c)
-    (P0, p0), (Ks, ks) = jax.lax.scan(
-        backward, (P_term, p_term), inputs, reverse=True
-    )
-
-    # ---- stage-0 free u_prev (theta) -------------------------------------
-    # V_0(dxb_0) with dxb_0 = [dx0; dtheta]; minimize over dtheta.
-    Pxx = P0[:9, :9]
-    Pxt = P0[:9, 9:]
-    Ptt = P0[9:, 9:]
-    pt = p0[9:]
-    rhs = -(pt + _mm(Pxt.T, dx0[:, None])[:, 0])
-    dtheta = spd_solve4(Ptt, rhs[:, None])[:, 0]
-    dxb0 = jnp.concatenate([dx0, dtheta])
-
-    # ---- forward sweep ----------------------------------------------------
-    def forward(dxb, inp):
-        K, k, Ai, Bi, ci = inp
-        du = _mm(K, dxb[:, None])[:, 0] + k
-        nxt = _mm(Ai, dxb[:, None])[:, 0] + _mm(Bi, du[:, None])[:, 0] + ci
-        return nxt, (dxb, du)
-
-    dxb_last, (dxbs, dus) = jax.lax.scan(
-        forward, dxb0, (Ks, ks, A, B, c)
-    )
-    # terminal input
-    du_term = -(Riqu + _mm(RiS, dxb_last[:, None])[:, 0])
-
-    dxb_all = jnp.concatenate([dxbs, dxb_last[None]], axis=0)
-    du_all = jnp.concatenate([dus, du_term[None]], axis=0)
-
-    # ---- costates nu_i = P_i dxb_i + p_i ---------------------------------
-    # Recompute P_i along the trajectory is already available only at 0 and
-    # terminal from the scan carries; instead rebuild nu from stationarity:
-    #   nu_i = Q_i dxb_i + S_i^T du_i + qx_i + A_i^T nu_{i+1}
-    nu_term = (
-        _mm(P_term, dxb_last[:, None])[:, 0] + p_term
-    )
-
-    def costate(nu_next, inp):
-        Qi, Si, qxi, Ai, dxbi, dui = inp
-        nu_i = (
-            _mm(Qi, dxbi[:, None])[:, 0]
-            + _mm(Si.T, dui[:, None])[:, 0]
-            + qxi
-            + _mm(Ai.T, nu_next[:, None])[:, 0]
-        )
-        return nu_i, nu_i
-
-    _, nus = jax.lax.scan(
-        costate,
-        nu_term,
-        (Q[:-1], S[:-1], qx[:-1], A, dxb_all[:-1], du_all[:-1]),
-        reverse=True,
-    )
-    nu_all = jnp.concatenate([nus, nu_term[None]], axis=0)
-    return LQRSolution(dxb=dxb_all, du=du_all, nu=nu_all, dtheta=dtheta)
+    fac = lqr_factor(Q, R, S, A, B)
+    return lqr_solve(fac, A, B, c, qx, qu, dx0)
 
 
 # ---------------------------------------------------------------------------
@@ -243,80 +260,109 @@ def spd_solve4_ll(A, Bm):
     return jnp.stack([x0, x1, x2, x3], axis=0)
 
 
-def solve_lqr_batched(Q, R, S, qx, qu, A, B, c, dx0) -> LQRSolution:
-    """Lane-major batched LQR solve.
-
-    Shapes (trailing batch Bn):
-      Q (N,13,13,Bn)  R (N,4,4,Bn)  S (N,4,13,Bn)  qx (N,13,Bn)  qu (N,4,Bn)
-      A (N-1,13,13,Bn)  B (N-1,13,4,Bn)  c (N-1,13,Bn)  dx0 (9,Bn)
-    """
-    N = Q.shape[0]
-
-    sol_term = spd_solve4_ll(
-        R[-1], jnp.concatenate([S[-1], qu[-1][:, None]], axis=1)
+def chol4_solve_ll(f, Bm):
+    """Forward/back substitution against packed factors f (10, B),
+    B of shape (4, k, B)."""
+    l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = (
+        f[0], f[1], f[2], f[3], f[4], f[5], f[6], f[7], f[8], f[9]
     )
-    RiS, Riqu = sol_term[:, :NXB], sol_term[:, NXB]
-    P_term = Q[-1] - _mm_ll(_t_ll(S[-1]), RiS)
-    p_term = qx[-1] - _mv_ll(_t_ll(S[-1]), Riqu)
+    b0, b1, b2, b3 = Bm[0], Bm[1], Bm[2], Bm[3]
+    y0 = b0 / l00[None]
+    y1 = (b1 - l10[None] * y0) / l11[None]
+    y2 = (b2 - l20[None] * y0 - l21[None] * y1) / l22[None]
+    y3 = (b3 - l30[None] * y0 - l31[None] * y1 - l32[None] * y2) / l33[None]
+    x3 = y3 / l33[None]
+    x2 = (y2 - l32[None] * x3) / l22[None]
+    x1 = (y1 - l21[None] * x2 - l31[None] * x3) / l11[None]
+    x0 = (y0 - l10[None] * x1 - l20[None] * x2 - l30[None] * x3) / l00[None]
+    return jnp.stack([x0, x1, x2, x3], axis=0)
 
-    def backward(carry, inp):
-        P, p = carry
-        Qi, Ri, Si, qxi, qui, Ai, Bi, ci = inp
-        Pc = p + _mv_ll(P, ci)
+
+def lqr_factor_ll(Q, R, S, A, B) -> LQRFactor:
+    """Riccati factorization, lane-major (trailing batch axis Bn).
+
+    Q (N,13,13,Bn)  R (N,4,4,Bn)  S (N,4,13,Bn)
+    A (N-1,13,13,Bn)  B (N-1,13,4,Bn)
+    """
+    cRt = jnp.stack(_chol4_ll(R[-1]), axis=0)              # (10, Bn)
+    RiS = chol4_solve_ll(cRt, S[-1])                       # (4, 13, Bn)
+    P_term = Q[-1] - _mm_ll(_t_ll(S[-1]), RiS)
+
+    def backward(P, inp):
+        Qi, Ri, Si, Ai, Bi = inp
         AtP = _mm_ll(_t_ll(Ai), P)
         BtP = _mm_ll(_t_ll(Bi), P)
         Qh = Qi + _mm_ll(AtP, Ai)
         Rh = Ri + _mm_ll(BtP, Bi)
         Sh = Si + _mm_ll(BtP, Ai)
-        qxh = qxi + _mv_ll(_t_ll(Ai), Pc)
-        quh = qui + _mv_ll(_t_ll(Bi), Pc)
-        sol = spd_solve4_ll(Rh, jnp.concatenate([Sh, quh[:, None]], axis=1))
-        K = -sol[:, :NXB]
-        k = -sol[:, NXB]
+        fh = jnp.stack(_chol4_ll(Rh), axis=0)              # (10, Bn)
+        K = -chol4_solve_ll(fh, Sh)                        # (4, 13, Bn)
         Pn = Qh + _mm_ll(_t_ll(Sh), K)
         Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
-        pn = qxh + _mv_ll(_t_ll(Sh), k)
-        return (Pn, pn), (K, k)
+        return Pn, (Pn, K, fh)
 
-    inputs = (Q[:-1], R[:-1], S[:-1], qx[:-1], qu[:-1], A, B, c)
-    (P0, p0), (Ks, ks) = jax.lax.scan(backward, (P_term, p_term), inputs,
-                                      reverse=True)
+    inputs = (Q[:-1], R[:-1], S[:-1], A, B)
+    _, (Ps, Ks, cRhs) = jax.lax.scan(backward, P_term, inputs, reverse=True)
+    # ys of the reverse scan are input-ordered: Ps[i] = P at stage i.
+    P_all = jnp.concatenate([Ps, P_term[None]], axis=0)    # (N, 13, 13, Bn)
+    return LQRFactor(P=P_all, K=Ks, cRh=cRhs, RiS=RiS, cRt=cRt)
 
+
+def lqr_solve_ll(fac: LQRFactor, A, B, c, qx, qu, dx0) -> LQRSolution:
+    """Backsolve one RHS (qx, qu, c, dx0) against a stored factorization.
+
+    The vector backward pass uses p_i = qxh_i + K_i^T quh_i (from
+    K = -Rh^{-1} Sh, so Sh^T k = K^T quh) and the costates come from the
+    value-function identity nu_i = P_i dxb_i + p_i.
+    """
+    Riqu = chol4_solve_ll(fac.cRt, qu[-1][:, None])[:, 0]
+    p_term = qx[-1] - _mv_ll(_t_ll(fac.RiS), qu[-1])
+
+    def backward(p, inp):
+        P_next, Ki, cRhi, qxi, qui, Ai, Bi, ci = inp
+        Pc = p + _mv_ll(P_next, ci)
+        qxh = qxi + _mv_ll(_t_ll(Ai), Pc)
+        quh = qui + _mv_ll(_t_ll(Bi), Pc)
+        k = -chol4_solve_ll(cRhi, quh[:, None])[:, 0]
+        pn = qxh + _mv_ll(_t_ll(Ki), quh)
+        return pn, (pn, k)
+
+    inputs = (fac.P[1:], fac.K, fac.cRh, qx[:-1], qu[:-1], A, B, c)
+    p0, (ps, ks) = jax.lax.scan(backward, p_term, inputs, reverse=True)
+    p_all = jnp.concatenate([ps, p_term[None]], axis=0)    # (N, 13, Bn)
+
+    P0 = fac.P[0]
     Pxt = P0[:9, 9:]
     Ptt = P0[9:, 9:]
-    pt = p0[9:]
-    rhs = -(pt + _mv_ll(jnp.swapaxes(Pxt, 0, 1), dx0))
+    rhs = -(p0[9:] + _mv_ll(jnp.swapaxes(Pxt, 0, 1), dx0))
     dtheta = spd_solve4_ll(Ptt, rhs[:, None])[:, 0]
     dxb0 = jnp.concatenate([dx0, dtheta], axis=0)
 
     def forward(dxb, inp):
-        K, k, Ai, Bi, ci = inp
-        du = _mv_ll(K, dxb) + k
+        Ki, ki, Ai, Bi, ci = inp
+        du = _mv_ll(Ki, dxb) + ki
         nxt = _mv_ll(Ai, dxb) + _mv_ll(Bi, du) + ci
         return nxt, (dxb, du)
 
-    dxb_last, (dxbs, dus) = jax.lax.scan(forward, dxb0, (Ks, ks, A, B, c))
-    du_term = -(Riqu + _mv_ll(RiS, dxb_last))
+    dxb_last, (dxbs, dus) = jax.lax.scan(forward, dxb0, (fac.K, ks, A, B, c))
+    du_term = -(Riqu + _mv_ll(fac.RiS, dxb_last))
     dxb_all = jnp.concatenate([dxbs, dxb_last[None]], axis=0)
     du_all = jnp.concatenate([dus, du_term[None]], axis=0)
 
-    nu_term = _mv_ll(P_term, dxb_last) + p_term
-
-    def costate(nu_next, inp):
-        Qi, Si, qxi, Ai, dxbi, dui = inp
-        nu_i = (
-            _mv_ll(Qi, dxbi) + _mv_ll(_t_ll(Si), dui) + qxi
-            + _mv_ll(_t_ll(Ai), nu_next)
-        )
-        return nu_i, nu_i
-
-    _, nus = jax.lax.scan(
-        costate, nu_term,
-        (Q[:-1], S[:-1], qx[:-1], A, dxb_all[:-1], du_all[:-1]),
-        reverse=True,
-    )
-    nu_all = jnp.concatenate([nus, nu_term[None]], axis=0)
+    # costates: nu_i = P_i dxb_i + p_i (value-function gradient)
+    nu_all = jnp.sum(fac.P * dxb_all[:, None], axis=2) + p_all
     return LQRSolution(dxb=dxb_all, du=du_all, nu=nu_all, dtheta=dtheta)
+
+
+def solve_lqr_batched(Q, R, S, qx, qu, A, B, c, dx0) -> LQRSolution:
+    """Lane-major batched LQR solve (factor + one backsolve).
+
+    Shapes (trailing batch Bn):
+      Q (N,13,13,Bn)  R (N,4,4,Bn)  S (N,4,13,Bn)  qx (N,13,Bn)  qu (N,4,Bn)
+      A (N-1,13,13,Bn)  B (N-1,13,4,Bn)  c (N-1,13,Bn)  dx0 (9,Bn)
+    """
+    fac = lqr_factor_ll(Q, R, S, A, B)
+    return lqr_solve_ll(fac, A, B, c, qx, qu, dx0)
 
 
 @solve_lqr.def_vmap
