@@ -69,6 +69,19 @@ def load():
         d, u8, ctypes.c_int, d, ctypes.c_double, ctypes.c_double,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
     ]
+    lib.frp_ring_create.restype = ctypes.c_void_p
+    lib.frp_ring_create.argtypes = [ctypes.c_int]
+    lib.frp_ring_destroy.restype = None
+    lib.frp_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.frp_ring_push.restype = None
+    lib.frp_ring_push.argtypes = [ctypes.c_void_p, d, ctypes.c_double]
+    lib.frp_ring_latest.restype = ctypes.c_int
+    lib.frp_ring_latest.argtypes = [ctypes.c_void_p, d, d]
+    lib.frp_ring_command.restype = ctypes.c_int
+    lib.frp_ring_command.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, d,
+    ]
     _cache["lib"] = lib
     return lib
 
@@ -96,6 +109,54 @@ def postprocess_output(mpc_output: np.ndarray, n_stages: int) -> np.ndarray:
     mo = np.ascontiguousarray(mpc_output, dtype=np.float64)
     lib.frp_postprocess_output(_dp(mo), n_stages)
     return mo
+
+
+class CommandRing:
+    """Lock-free latest-solution hand-off between the 20 Hz solver loop and
+    the 100 Hz commander (native seqlock; see runtime.cpp frp_ring_*).
+
+    Replaces the reference's unsynchronized shared deque
+    (nmpc_solver.cpp:527 / 865-987 across spinner threads).
+    Returns None from the constructor path if no native toolchain exists —
+    callers fall back to Python-side hand-off.
+    """
+
+    def __init__(self, n_stages: int, nvar: int = 17):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self.n_stages = n_stages
+        self.stride = (n_stages + 1) * nvar
+        self._h = lib.frp_ring_create(self.stride)
+
+    def push(self, mpc_output: np.ndarray, t_start: float) -> None:
+        mo = np.ascontiguousarray(mpc_output, dtype=np.float64)
+        assert mo.size == self.stride, (mo.size, self.stride)
+        self._lib.frp_ring_push(self._h, _dp(mo), t_start)
+
+    def latest(self):
+        out = np.zeros(self.stride)
+        t = ctypes.c_double()
+        ok = self._lib.frp_ring_latest(self._h, _dp(out), ctypes.byref(t))
+        if not ok:
+            return None
+        return out.reshape(self.n_stages + 1, -1), t.value
+
+    def command(self, t_now: float, dt: float, mass: float, g: float):
+        """Latest snapshot + interpolation in one native call.  Returns the
+        14-dim command [pos3, vel3, acc3, rates3, yaw, thrust] or None."""
+        cmd = np.zeros(14)
+        ok = self._lib.frp_ring_command(
+            self._h, self.n_stages + 1, t_now, dt, mass, g, _dp(cmd)
+        )
+        return cmd if ok else None
+
+    def __del__(self):
+        try:
+            self._lib.frp_ring_destroy(self._h)
+        except Exception:
+            pass
 
 
 def raycast_update(grid: np.ndarray, origin, resolution: float,

@@ -13,6 +13,7 @@
 // Exposed as a plain C ABI consumed via ctypes (native/bindings.py).
 // Build: cmake -G Ninja && ninja  (see native/CMakeLists.txt)
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -181,6 +182,82 @@ void frp_raycast_update(float* grid, int nx, int ny, int nz,
     grid[idx] =
         std::max(clamp_min, std::min(clamp_max, grid[idx] + upd));
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Latest-solution hand-off ring (seqlock double buffer).
+//
+// The reference shares the MPC solution deque `pre_mpc_output_` between the
+// 20 Hz solve callback and the 100 Hz command callback with NO
+// synchronization (nmpc_solver.cpp:527 written / 865-987 read across a
+// 4-thread ros::MultiThreadedSpinner, resilient_planner_node.cpp:14) — it
+// relies on timing luck.  This makes the hand-off explicit and lock-free:
+// one writer (solver loop) publishes whole solutions, one reader (command
+// loop) always sees a consistent latest snapshot, wait-free for the writer.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CmdRing {
+  int stride;                       // doubles per payload
+  std::vector<double> buf;          // 2 * (stride + 1): payload + t_start
+  std::atomic<uint64_t> seq{0};     // odd while writing; /2 %2 = live slot
+};
+
+}  // namespace
+
+extern "C" {
+
+void* frp_ring_create(int stride) {
+  auto* r = new CmdRing();
+  r->stride = stride;
+  r->buf.assign(2 * (stride + 1), 0.0);
+  return r;
+}
+
+void frp_ring_destroy(void* ring) { delete static_cast<CmdRing*>(ring); }
+
+// Publish one solution (payload[stride], timestamp).  Single writer.
+void frp_ring_push(void* ring, const double* payload, double t_start) {
+  auto* r = static_cast<CmdRing*>(ring);
+  const uint64_t s0 = r->seq.load(std::memory_order_relaxed);
+  const int slot = static_cast<int>((s0 / 2 + 1) % 2);  // write the spare
+  r->seq.store(s0 + 1, std::memory_order_release);      // mark writing (odd)
+  double* dst = r->buf.data() + slot * (r->stride + 1);
+  std::memcpy(dst, payload, r->stride * sizeof(double));
+  dst[r->stride] = t_start;
+  r->seq.store(s0 + 2, std::memory_order_release);      // flip live slot
+}
+
+// Read the latest consistent snapshot.  Returns 1 on success (and fills
+// payload + t_start), 0 if nothing has been published yet.  Single reader;
+// retries while the writer is mid-publish.
+int frp_ring_latest(void* ring, double* payload, double* t_start) {
+  auto* r = static_cast<CmdRing*>(ring);
+  for (;;) {
+    const uint64_t s0 = r->seq.load(std::memory_order_acquire);
+    if (s0 == 0) return 0;
+    if (s0 & 1) continue;                                // writer active
+    const int slot = static_cast<int>((s0 / 2) % 2);
+    const double* src = r->buf.data() + slot * (r->stride + 1);
+    std::memcpy(payload, src, r->stride * sizeof(double));
+    *t_start = src[r->stride];
+    if (r->seq.load(std::memory_order_acquire) == s0) return 1;
+  }
+}
+
+// Convenience: read-latest + interpolate in one call (the 100 Hz hot path
+// does exactly this; one native call instead of two + a Python hop).
+int frp_ring_command(void* ring, int n_stages, double t_now, double dt,
+                     double mass, double g, double* cmd) {
+  auto* r = static_cast<CmdRing*>(ring);
+  std::vector<double> payload(r->stride);
+  double t_start = 0.0;
+  if (!frp_ring_latest(ring, payload.data(), &t_start)) return 0;
+  return frp_interpolate_command(payload.data(), n_stages, t_now - t_start,
+                                 dt, mass, g, cmd);
 }
 
 }  // extern "C"

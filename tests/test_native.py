@@ -84,3 +84,63 @@ def test_native_raycast_matches_jax():
         mcfg.clamp_min_log, mcfg.clamp_max_log,
     )
     np.testing.assert_allclose(np.asarray(gj.buffer), gc, atol=1e-5)
+
+
+def test_ring_latest_roundtrip():
+    ring = bindings.CommandRing(n_stages=20)
+    assert ring.latest() is None
+    out = random_output()
+    ring.push(out, 12.5)
+    snap, t = ring.latest()
+    assert t == 12.5
+    np.testing.assert_array_equal(snap, out)
+    out2 = random_output()
+    ring.push(out2, 13.0)
+    snap2, t2 = ring.latest()
+    assert t2 == 13.0
+    np.testing.assert_array_equal(snap2, out2)
+
+
+def test_ring_command_matches_interpolator():
+    ring = bindings.CommandRing(n_stages=20)
+    out = random_output()
+    ring.push(out, 100.0)
+    for t in (100.05, 100.31, 100.77):
+        cmd = ring.command(t, CFG.dt, CFG.mass, CFG.g)
+        ref = bindings.interpolate_command(
+            out, t - 100.0, CFG.dt, CFG.mass, CFG.g
+        )
+        np.testing.assert_allclose(cmd, ref, atol=1e-15)
+    assert ring.command(102.0, CFG.dt, CFG.mass, CFG.g) is None  # exhausted
+
+
+def test_ring_concurrent_snapshots_consistent():
+    """Writer floods the ring while the reader samples; every snapshot must
+    be internally consistent (all entries from one publish)."""
+    import threading
+
+    ring = bindings.CommandRing(n_stages=20)
+    stop = threading.event() if hasattr(threading, "event") else None
+    done = threading.Event()
+
+    def writer():
+        for k in range(4000):
+            payload = np.full((21, 17), float(k))
+            ring.push(payload, float(k))
+        done.set()
+
+    w = threading.Thread(target=writer)
+    w.start()
+    torn = 0
+    reads = 0
+    while not done.is_set():
+        got = ring.latest()
+        if got is None:
+            continue
+        snap, t = got
+        reads += 1
+        if not (snap == snap.flat[0]).all() or t != snap.flat[0]:
+            torn += 1
+    w.join()
+    assert reads > 0
+    assert torn == 0
