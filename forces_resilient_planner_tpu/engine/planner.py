@@ -136,11 +136,44 @@ class ResilientPlanner:
         )
 
     # ------------------------------------------------------------------ IO
-    def on_odometry(self, state: np.ndarray):
+    def enable_force_estimation(self, bandwidth: float = 8.0):
+        """Self-contained external-force sensing: run the momentum observer
+        (estimation/force_estimator.py, the VID-Fusion analog) on incoming
+        odometry + the last issued command instead of requiring an external
+        `/forces` feed.  Call once; on_external_force then fires internally
+        on every odometry sample."""
+        from forces_resilient_planner_tpu.estimation import (
+            MomentumForceEstimator,
+        )
+
+        self._force_estimator = MomentumForceEstimator(
+            self.cfg.model, bandwidth
+        )
+        self._last_cmd_u = np.array(
+            [0.0, 0.0, 0.0, self.cfg.model.mass * self.cfg.model.g]
+        )
+        self._last_odom_t: float | None = None
+
+    def on_odometry(self, state: np.ndarray, t_now: float | None = None):
         """9-state odometry [p, v_world, rpy] (odometryCallback,
-        nmpc_manage.cpp:421-448)."""
+        nmpc_manage.cpp:421-448).  With force estimation enabled, pass
+        t_now so the observer can integrate."""
         self.odom = np.asarray(state, float).copy()
         self.have_odom = True
+        est = getattr(self, "_force_estimator", None)
+        if est is not None and t_now is not None:
+            flying = (
+                self.cmd_status == CmdStatus.PUB_TRAJ
+                and self.initialized_output
+            )
+            if self._last_odom_t is not None and flying:
+                dt = t_now - self._last_odom_t
+                if dt > 1e-6:
+                    f = est.update(self.odom, self._last_cmd_u, dt)
+                    self.on_external_force(f)
+            else:
+                est.sync(self.odom)
+            self._last_odom_t = t_now
 
     def on_odometry_body_frame(
         self, pos: np.ndarray, quat_wxyz: np.ndarray, vel_body: np.ndarray
@@ -495,6 +528,10 @@ class ResilientPlanner:
                 self.pre_mpc_output, t_now - self.pre_mpc_start_time,
                 self.cfg.model,
             )
+            if cmd is not None and hasattr(self, "_last_cmd_u"):
+                self._last_cmd_u = np.concatenate(
+                    [cmd.body_rates, [cmd.thrust]]
+                )
             if cmd is None and self.pub_end:
                 self.cmd_status = CmdStatus.PUB_END
                 return self.get_command(t_now)

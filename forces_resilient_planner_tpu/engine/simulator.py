@@ -78,11 +78,15 @@ class QuadSim:
 def run_closed_loop(
     planner, sim: QuadSim, goal_xy, duration: float, dt: float = 0.01,
     odom_noise: float = 0.0, force_schedule=None, rng=None,
+    external_force_feed: bool = True,
 ):
     """Drive the full loop at the reference's timer rates
     (fsm/cmd 100 Hz, mpc/safety 20 Hz, nmpc_manage.cpp:44-46).
 
     force_schedule: optional callable t -> true external force (m/s^2).
+    external_force_feed: publish the true force to the planner (the
+    reference's VID-Fusion feed); False = the planner must sense it itself
+    (planner.enable_force_estimation()).
     Returns a trace dict.
     """
     rng = rng or np.random.default_rng(0)
@@ -96,9 +100,10 @@ def run_closed_loop(
         odom = sim.state.copy()
         if odom_noise > 0:
             odom[0:6] += rng.normal(0, odom_noise, 6)
-        planner.on_odometry(odom)
-        # the estimator publishes the (noisy) true force
-        planner.on_external_force(sim.f_ext)
+        planner.on_odometry(odom, t_now=t)
+        if external_force_feed:
+            # the estimator publishes the (noisy) true force
+            planner.on_external_force(sim.f_ext)
         planner.tick_fsm(t)
         if k % 5 == 0:
             planner.tick_safety(t)

@@ -93,5 +93,16 @@ class MomentumForceEstimator:
         )
         return np.asarray(self._st.f_hat, float)
 
+    def sync(self, x: np.ndarray) -> None:
+        """Track velocity without integrating the observer — for phases
+        where the vehicle is not flying the model (position holds, yaw
+        ramps): the momentum residual is meaningless there and would
+        corrupt f_hat."""
+        v = jnp.asarray(x, jnp.float64)[3:6]
+        if self._st is None:
+            self._st = estimator_init(v)
+        else:
+            self._st = self._st._replace(v_prev=v)
+
     def reset(self) -> None:
         self._st = None

@@ -97,3 +97,25 @@ def test_panic_stop_on_huge_force():
     planner.on_external_force(np.array([12.0, 0.0, 0.0]))
     assert planner.state == FSMState.WAIT_TARGET
     assert not planner.have_target
+
+
+@pytest.mark.slow
+def test_self_estimated_force_resilience():
+    """No external force feed at all: the planner's own momentum observer
+    (enable_force_estimation) must sense the wind and still reach the goal
+    — the framework standing in for VID-Fusion end to end."""
+    planner, sim = make_stack()
+    planner.enable_force_estimation(bandwidth=10.0)
+
+    def wind(t):
+        return np.array([1.5, 0.0, 0.0]) if t > 1.0 else np.zeros(3)
+
+    trace = run_closed_loop(
+        planner, sim, [2.0, 0.0], duration=5.0, force_schedule=wind,
+        external_force_feed=False,
+    )
+    final = trace["pos"][-1]
+    assert np.linalg.norm(final - np.array([2.0, 0.0, 1.2])) < 0.5, final
+    # the observer must have seen the gust
+    est = planner._force_estimator
+    assert abs(est.f_hat[0] - 1.5) < 0.5, est.f_hat
