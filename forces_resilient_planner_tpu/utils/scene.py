@@ -63,6 +63,9 @@ function draw(id, ax0, ax1) {{
     ctx.beginPath(); ctx.moveTo(X(seg[0]), Y(seg[0]));
     ctx.lineTo(X(seg[1]), Y(seg[1])); ctx.stroke();
   }}
+  // polyhedron silhouettes (PolyhedronArray display analog)
+  ctx.strokeStyle = '#2e7d4f'; ctx.lineWidth = 1.0;
+  for (const ring of D.corridor_polys[id] || []) poly(ring, '#2e7d4f', 1.0);
   ctx.fillStyle = '#44cc44';
   const g = D.goal; ctx.fillRect(X(g)-4, Y(g)-4, 8, 8);
 }}
@@ -104,6 +107,56 @@ def _corridor_chords(A, b, centers, axes, half_len=2.5):
     return segs
 
 
+def _corridor_outlines(A, b, axes):
+    """Project each stage polyhedron's vertex hull onto the view plane and
+    return closed 2D outlines (the rviz PolyhedronArray display analog,
+    decomp_ros_utils/src/polyhedron_array_display.cpp, rendered flat)."""
+    from forces_resilient_planner_tpu.corridor.geometry import (
+        polyhedron_vertices,
+    )
+
+    ax0, ax1 = axes
+    outlines = []
+    for i in range(len(A)):
+        try:
+            pf = polyhedron_vertices(A[i], b[i])
+        except Exception:
+            continue
+        V = pf.vertices
+        if len(V) < 3:
+            continue
+        p2 = V[:, [ax0, ax1]]
+        # silhouette = 2D convex hull of the projected vertices
+        # (Andrew's monotone chain; V <= ~100)
+        pts = sorted(map(tuple, p2))
+        if len(pts) < 3:
+            continue
+
+        def half(seq):
+            out = []
+            for q in seq:
+                while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (q[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (q[0] - out[-2][0])
+                ) <= 0:
+                    out.pop()
+                out.append(q)
+            return out
+
+        lower, upper = half(pts), half(pts[::-1])
+        hull = np.asarray(lower[:-1] + upper[:-1])
+
+        def lift(q):
+            out = [0.0, 0.0, 0.0]
+            out[ax0], out[ax1] = float(q[0]), float(q[1])
+            return out
+
+        ring = [lift(q) for q in hull]
+        ring.append(ring[0])
+        outlines.append(ring)
+    return outlines
+
+
 def dump_scene(
     path: str | Path,
     traj: np.ndarray,            # (N, 3) NMPC positions
@@ -124,11 +177,14 @@ def dump_scene(
         else [0.0] * len(traj)
     )
     segs = {"xy": [], "xz": []}
+    polys = {"xy": [], "xz": []}
     if corridor_A is not None:
         A = np.asarray(corridor_A)
         b = np.asarray(corridor_b)
         segs["xy"] = _corridor_chords(A, b, ref, (0, 1))
         segs["xz"] = _corridor_chords(A, b, ref, (0, 2))
+        polys["xy"] = _corridor_outlines(A, b, (0, 1))
+        polys["xz"] = _corridor_outlines(A, b, (0, 2))
     data = {
         "traj": traj.tolist(),
         "ref": ref.tolist(),
@@ -138,6 +194,7 @@ def dump_scene(
         ),
         "ellipsoid_r": ell_r,
         "corridor_segs": segs,
+        "corridor_polys": polys,
         "kino": (
             np.asarray(kino_path, float).tolist() if kino_path is not None else []
         ),
