@@ -14,6 +14,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
+# the FORCES interface is an f64 host surface; run it on CPU like the
+# reference's ctypes interface would (pass --tpu to use the chip at f32)
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
@@ -45,11 +49,11 @@ def main():
     # corridor + disturbance-tube tightening, exactly like the C++ wrapper
     A, b = box_corridor(0.5 * (x0[:3] + goal), np.array([5.0, 5.0, 2.0]),
                         fapi.N)
-    E = lyapunov.tube_sqrt_matrices(
-        np.tile(x0[None], (fapi.N, 1)),
-        np.tile([0.0, 0.0, 0.0, C.model.mass * C.model.g], (fapi.N, 1)),
-        jnp.zeros(3), C.model, C.tube,
+    Z_prev = np.asarray(hover_warm_start(jnp.asarray(x0), C.model))
+    tubes = lyapunov.propagate_tubes(
+        jnp.asarray(Z_prev), C.model, C.tube, jnp.asarray(C.tube.K)
     )
+    E = tubes.E
     yaw = np.arctan2(goal[1] - x0[1], goal[0] - x0[0])
     fapi.pack_stage_params(
         params,
