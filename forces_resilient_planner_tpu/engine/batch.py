@@ -190,7 +190,9 @@ def solve_scenario_grid(
             )
         )
         solve = jax.jit(
-            lambda Z0, p: ipm_lanes.solve_batch_lanes(Z0, p, cfg.model, cfg.solver)
+            lambda Z0, p: ipm_lanes.solve_batch_lanes_tiered(
+                Z0, p, cfg.model, cfg.solver
+            )
         )
         _jitted_sweeps[key] = (expand, solve)
     expand, solve = _jitted_sweeps[key]
@@ -211,7 +213,9 @@ def solve_scenarios(
     key = id(cfg)
     if key not in _jitted_solvers:
         _jitted_solvers[key] = jax.jit(
-            lambda Z0, params: ipm_lanes.solve_batch_lanes(Z0, params, cfg.model, cfg.solver)
+            lambda Z0, params: ipm_lanes.solve_batch_lanes_tiered(
+                Z0, params, cfg.model, cfg.solver
+            )
         )
     return _jitted_solvers[key](scen.Z0, scen.params)
 

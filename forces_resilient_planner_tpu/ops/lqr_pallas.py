@@ -176,6 +176,169 @@ def _lqr_solve_kernel(
     nu_ref[N - 1] = _mv(P_ref[N - 1], dxb) + p_scr[N - 1]
 
 
+def _abar(Ax_i):
+    """[[Ax, 0], [0, 0]]: augmented-state transition (9+4, 13, L)."""
+    z94 = jnp.zeros(Ax_i.shape[:1] + (4,) + Ax_i.shape[2:], Ax_i.dtype)
+    z4 = jnp.zeros((4, NXB) + Ax_i.shape[2:], Ax_i.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([Ax_i, z94], axis=1), z4], axis=0
+    )
+
+
+def _bbar(Bx_i):
+    """[[Bx], [I4]]: input map with the u -> u_prev copy rows (13, 4, L)."""
+    L = Bx_i.shape[-1]
+    eye = jnp.broadcast_to(
+        jnp.eye(NU, dtype=Bx_i.dtype)[:, :, None], (NU, NU, L)
+    )
+    return jnp.concatenate([Bx_i, eye], axis=0)
+
+
+def _assemble_stage(
+    i, w_wp, w_input, w_rate, w_vel, w_uprev0, sigma_ref, Acor_ref, reg, rmax2,
+):
+    """Barrier-weighted stage QP blocks (Wp, Rp, Sp) for stage i, built in
+    VMEM from the weight table + sigma + corridor rows — the in-kernel
+    version of solver/ipm_lanes.py::_assemble_qp_blocks (same sparsity:
+    tracking/vel/rate diagonals, u<->u_prev coupling, bound sigmas on every
+    diagonal, dense corridor 3x3 position block)."""
+    dtype = sigma_ref.dtype
+    L = sigma_ref.shape[-1]
+    sig = sigma_ref[i]                                      # (64, L)
+    sig_u = sig[0:4] + sig[17:21]
+    sig_up = sig[4:8] + sig[21:25]
+    sig_x = sig[8:17] + sig[25:34]
+    sc = sig[34:64]                                         # (30, L)
+    A = Acor_ref[i]                                         # (30, 3, L)
+
+    wr = w_rate[i]                                          # (L,)
+    r_diag = 2.0 * wr[None] + sig_u + reg                   # (4, L)
+    r_in = 2.0 * w_input[i][None] / rmax2
+    r03 = r_diag[0:3] + r_in
+    Rp = jnp.zeros((NU, NU, L), dtype)
+    for k in range(3):
+        Rp = Rp.at[k, k].set(r03[k])
+    Rp = Rp.at[3, 3].set(r_diag[3])
+
+    x_diag = sig_x + reg                                    # (9, L)
+    x_diag = x_diag.at[0:3].add(2.0 * w_wp[i][None])
+    x_diag = x_diag.at[3:6].add(2.0 * w_vel[i][None])
+    x_diag = x_diag.at[8].add(24.0 * w_wp[i])
+    up_diag = 2.0 * wr[None] + sig_up + reg
+    up_diag = up_diag.at[0:3].add(2.0 * w_uprev0[i][None])
+    Wp = jnp.zeros((NXB, NXB, L), dtype)
+    for k in range(9):
+        Wp = Wp.at[k, k].set(x_diag[k])
+    for k in range(NU):
+        Wp = Wp.at[9 + k, 9 + k].set(up_diag[k])
+    for j in range(3):
+        Asj = A[:, j] * sc                                  # (30, L)
+        for l in range(j, 3):
+            blk = jnp.sum(Asj * A[:, l], axis=0)
+            Wp = Wp.at[j, l].add(blk)
+            if l != j:
+                Wp = Wp.at[l, j].add(blk)
+
+    Sp = jnp.zeros((NU, NXB, L), dtype)
+    for k in range(NU):
+        Sp = Sp.at[k, 9 + k].set(-2.0 * wr)
+    return Wp, Rp, Sp
+
+
+def _lqr_factor_fused_kernel(
+    w_wp_ref, w_input_ref, w_rate_ref, w_vel_ref, w_uprev0_ref,
+    sigma_ref, Acor_ref, Ax_ref, Bx_ref, scal_ref,
+    P_ref, K_ref, cRh_ref, RiS_ref, cRt_ref,
+):
+    """Factor kernel with in-VMEM QP assembly: the (N,13,13,B) stage
+    Hessian stacks and the padded (13,13)/(13,4) dynamics never exist in
+    HBM; inputs are the raw weight table, barrier sigmas, corridor rows and
+    the 9x9/9x4 RK2 Jacobians."""
+    N = sigma_ref.shape[0]
+    reg = scal_ref[0]
+    rmax2 = scal_ref[1]
+    wargs = (
+        w_wp_ref[:], w_input_ref[:], w_rate_ref[:], w_vel_ref[:],
+        w_uprev0_ref[:],
+    )
+
+    Q_t, R_t, S_t = _assemble_stage(
+        N - 1, *wargs, sigma_ref, Acor_ref, reg, rmax2
+    )
+    f_term = _chol4(R_t)
+    RiS = _chol4_solve(f_term, S_t)
+    cRt_ref[:] = jnp.stack(f_term, axis=0)
+    RiS_ref[:] = RiS
+    P = Q_t - _mm(_t(S_t), RiS)
+    P_ref[N - 1] = P
+
+    for i in range(N - 2, -1, -1):
+        Ai = _abar(Ax_ref[i])
+        Bi = _bbar(Bx_ref[i])
+        Qi, Ri, Si = _assemble_stage(
+            i, *wargs, sigma_ref, Acor_ref, reg, rmax2
+        )
+        AtP = _mm(_t(Ai), P)
+        BtP = _mm(_t(Bi), P)
+        Qh = Qi + _mm(AtP, Ai)
+        Rh = Ri + _mm(BtP, Bi)
+        Sh = Si + _mm(BtP, Ai)
+        fh = _chol4(Rh)
+        K = -_chol4_solve(fh, Sh)
+        K_ref[i] = K
+        cRh_ref[i] = jnp.stack(fh, axis=0)
+        Pn = Qh + _mm(_t(Sh), K)
+        P = 0.5 * (Pn + _t(Pn))
+        P_ref[i] = P
+
+
+def _lqr_solve_fused_kernel(
+    P_ref, K_ref, cRh_ref, RiS_ref, cRt_ref,
+    Ax_ref, Bx_ref, c_ref, qx_ref, qu_ref, dx0_ref,
+    dxb_ref, du_ref, nu_ref, dtheta_ref,
+    p_scr, k_scr,
+):
+    """Vector backsolve rebuilding the [[Ax,0],[0,0]] / [[Bx],[I]] stage
+    structure in VMEM (same math as _lqr_solve_kernel)."""
+    N = qx_ref.shape[0]
+    RiS = RiS_ref[:]
+    Riqu = _chol4_solve_packed(cRt_ref[:], qu_ref[N - 1][:, None])[:, 0]
+    p = qx_ref[N - 1] - _mv(_t(RiS), qu_ref[N - 1])
+    p_scr[N - 1] = p
+
+    for i in range(N - 2, -1, -1):
+        Ai = _abar(Ax_ref[i])
+        Bi = _bbar(Bx_ref[i])
+        Pc = p + _mv(P_ref[i + 1], c_ref[i])
+        qxh = qx_ref[i] + _mv(_t(Ai), Pc)
+        quh = qu_ref[i] + _mv(_t(Bi), Pc)
+        k = -_chol4_solve_packed(cRh_ref[i], quh[:, None])[:, 0]
+        k_scr[i] = k
+        p = qxh + _mv(_t(K_ref[i]), quh)
+        p_scr[i] = p
+
+    P0 = P_ref[0]
+    Pxt = P0[:9, 9:]
+    Ptt = P0[9:, 9:]
+    dx0 = dx0_ref[:]
+    rhs = -(p[9:] + _mv(_t(Pxt), dx0))
+    dtheta = _chol4_solve(_chol4(Ptt), rhs[:, None])[:, 0]
+    dtheta_ref[:] = dtheta
+    dxb = jnp.concatenate([dx0, dtheta], axis=0)
+
+    for i in range(N - 1):
+        du = _mv(K_ref[i], dxb) + k_scr[i]
+        dxb_ref[i] = dxb
+        du_ref[i] = du
+        nu_ref[i] = _mv(P_ref[i], dxb) + p_scr[i]
+        dxb = (
+            _mv(_abar(Ax_ref[i]), dxb) + _mv(_bbar(Bx_ref[i]), du) + c_ref[i]
+        )
+    dxb_ref[N - 1] = dxb
+    du_ref[N - 1] = -(Riqu + _mv(RiS, dxb))
+    nu_ref[N - 1] = _mv(P_ref[N - 1], dxb) + p_scr[N - 1]
+
+
 def _spec(shape):
     nd = len(shape)
     return pl.BlockSpec(
@@ -222,6 +385,9 @@ def lqr_factor_lanes(Q, R, S, A, B, *, interpret: bool = False):
         in_specs=[_spec(x.shape) for x in (Q, R, S, A, B)],
         out_specs=tuple(_spec(s.shape) for s in out_shapes),
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(Q, R, S, A, B)
 
@@ -258,8 +424,104 @@ def lqr_backsolve_lanes(fac, A, B, c, qx, qu, dx0, *, interpret: bool = False):
             pltpu.VMEM((N, NXB, LANES), dtype),      # p stack
             pltpu.VMEM((N - 1, NU, LANES), dtype),   # k offsets
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(P, K, cRh, RiS, cRt, A, B, c, qx, qu, dx0)
+    if pad:
+        dxb, du, nu, dtheta = (
+            dxb[..., :Bn], du[..., :Bn], nu[..., :Bn], dtheta[..., :Bn]
+        )
+    return dxb, du, nu, dtheta
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lqr_factor_fused_lanes(
+    w_wp, w_input, w_rate, w_vel, w_uprev0,   # (N, Bn) stage weight tables
+    sigma,                                     # (N, 64, Bn) barrier sigmas
+    Acor,                                      # (N, 30, 3, Bn) corridor rows
+    Ax, Bx,                                    # (N-1, 9, {9,4}, Bn) jacobians
+    reg: float, rmax2: float,
+    *, interpret: bool = False,
+):
+    """Fused assembly + factor: QP blocks and the augmented-state dynamics
+    are built inside VMEM; the (N,13,13,B) stacks never touch HBM."""
+    N = sigma.shape[0]
+    Bn = sigma.shape[-1]
+    dtype = sigma.dtype
+    pad = _pad_lanes(Bn)
+    if pad:
+        padf = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        lane_pad = (jnp.arange(Bn + pad) >= Bn).astype(dtype)
+        # padded lanes: unit tracking/rate weights keep the blocks SPD
+        w_wp = padf(w_wp) + lane_pad
+        w_input = padf(w_input) + lane_pad
+        w_rate = padf(w_rate) + lane_pad
+        w_vel, w_uprev0, sigma, Acor, Ax, Bx = map(
+            padf, (w_vel, w_uprev0, sigma, Acor, Ax, Bx)
+        )
+    Bp = Bn + pad
+    scal = jnp.broadcast_to(
+        jnp.asarray([reg, rmax2], dtype)[:, None], (2, Bp)
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, NXB, NXB, Bp), dtype),     # P
+        jax.ShapeDtypeStruct((N - 1, NU, NXB, Bp), dtype),  # K
+        jax.ShapeDtypeStruct((N - 1, 10, Bp), dtype),       # cRh
+        jax.ShapeDtypeStruct((NU, NXB, Bp), dtype),         # RiS
+        jax.ShapeDtypeStruct((10, Bp), dtype),              # cRt
+    )
+    ins = (w_wp, w_input, w_rate, w_vel, w_uprev0, sigma, Acor, Ax, Bx, scal)
+    return pl.pallas_call(
+        _lqr_factor_fused_kernel,
+        grid=(Bp // LANES,),
+        in_specs=[_spec(x.shape) for x in ins],
+        out_specs=tuple(_spec(s.shape) for s in out_shapes),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*ins)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lqr_backsolve_fused_lanes(fac, Ax, Bx, c, qx, qu, dx0, *,
+                              interpret: bool = False):
+    """Backsolve against a fused factorization using the raw 9x9/9x4
+    Jacobians (the 13-wide augmented structure is rebuilt in VMEM)."""
+    P, K, cRh, RiS, cRt = fac
+    N = qx.shape[0]
+    Bn = qx.shape[-1]
+    dtype = qx.dtype
+    pad = P.shape[-1] - Bn
+    if pad:
+        padf = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        Ax, Bx, c, qx, qu, dx0 = map(padf, (Ax, Bx, c, qx, qu, dx0))
+    Bp = Bn + pad
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, NXB, Bp), dtype),   # dxb
+        jax.ShapeDtypeStruct((N, NU, Bp), dtype),    # du
+        jax.ShapeDtypeStruct((N, NXB, Bp), dtype),   # nu
+        jax.ShapeDtypeStruct((NU, Bp), dtype),       # dtheta
+    )
+    ins = (P, K, cRh, RiS, cRt, Ax, Bx, c, qx, qu, dx0)
+    dxb, du, nu, dtheta = pl.pallas_call(
+        _lqr_solve_fused_kernel,
+        grid=(Bp // LANES,),
+        in_specs=[_spec(x.shape) for x in ins],
+        out_specs=tuple(_spec(s.shape) for s in out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((N, NXB, LANES), dtype),      # p stack
+            pltpu.VMEM((N - 1, NU, LANES), dtype),   # k offsets
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*ins)
     if pad:
         dxb, du, nu, dtheta = (
             dxb[..., :Bn], du[..., :Bn], nu[..., :Bn], dtheta[..., :Bn]

@@ -183,24 +183,11 @@ def solve(
         err0 = jnp.max(jnp.stack([stat, eq, ineq, comp0]))
         done = err0 <= tol
 
-        # barrier update (monotone Fiacco-McCormick / IPOPT rule), based on
-        # the barrier-problem error at the current point
-        err_mu = jnp.max(jnp.stack([stat, eq, ineq, comp]))
-        shrink = err_mu <= 10.0 * mu
-        mu = jnp.where(
-            shrink & ~done,
-            jnp.maximum(tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)),
-            mu,
-        )
-
         r_g = g + s
         sigma = mu_d / s
         # stage Hessian with barrier weighting + primal regularization
         W = H + nlp.ineq_weighted_hessian(params, sigma)
         W = W + scfg.reg * jnp.eye(NZ, dtype=dtype)[None]
-        # QP gradient (lambda^+ substitution: no J_eq^T lam term here)
-        w_vec = mu / s + sigma * r_g
-        q = grad_f + nlp.ineq_jac_T_times(params, w_vec)
 
         # partition to (xbar, u) with static slices (TPU gathers on minor
         # dims serialize; concatenated slices stay vectorized)
@@ -219,8 +206,6 @@ def solve(
         Sp = jnp.concatenate(
             [W[:, 0:4, 8:17], W[:, 0:4, 4:8]], axis=-1
         )                                                      # (N,4,13)  S
-        qx = jnp.concatenate([q[:, 8:17], q[:, 4:8]], axis=-1)
-        qu = q[:, 0:4]
 
         # dynamics linearization (reuse the jacobians computed above)
         Abar = jnp.zeros((N - 1, NXB, NXB), dtype)
@@ -228,18 +213,76 @@ def solve(
         Bbar = jnp.zeros((N - 1, NXB, NU), dtype)
         Bbar = Bbar.at[:, :9, :].set(Bx)
         Bbar = Bbar.at[:, 9:, :].set(jnp.eye(NU, dtype=dtype)[None])
-
         dx0 = params.xinit - Z[0, nlp.IX]
-        sol = solve_lqr(Wp, Rp, Sp, qx, qu, Abar, Bbar, c, dx0)
 
-        dZ = jnp.zeros_like(Z)
-        dZ = dZ.at[:, nlp.IX].set(sol.dxb[:, :9])
-        dZ = dZ.at[:, nlp.IUP].set(sol.dxb[:, 9:])
-        dZ = dZ.at[:, nlp.IU].set(sol.du)
+        # fraction-to-boundary
+        tau = jnp.asarray(scfg.frac_to_boundary, dtype)
 
-        # slack / dual steps
-        ds = -r_g - nlp.ineq_jac_times(params, dZ)
-        mu_d_new_full = mu / s + sigma * (r_g + nlp.ineq_jac_times(params, dZ))
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio))
+
+        def direction(w_vec, fac):
+            """One backsolve: reduced QP gradient from the complementarity
+            target vector w_vec (lambda^+ substitution eliminates s, mu_d)."""
+            q = grad_f + nlp.ineq_jac_T_times(params, w_vec)
+            qx = jnp.concatenate([q[:, 8:17], q[:, 4:8]], axis=-1)
+            qu = q[:, 0:4]
+            sol = lqr_solve(fac, Abar, Bbar, c, qx, qu, dx0)
+            dZ = jnp.zeros_like(Z)
+            dZ = dZ.at[:, nlp.IX].set(sol.dxb[:, :9])
+            dZ = dZ.at[:, nlp.IUP].set(sol.dxb[:, 9:])
+            dZ = dZ.at[:, nlp.IU].set(sol.du)
+            ds = -r_g - nlp.ineq_jac_times(params, dZ)
+            return sol, dZ, ds
+
+        fac = lqr_factor(Wp, Rp, Sp, Abar, Bbar)
+
+        if scfg.predictor_corrector:
+            # ---- Mehrotra predictor-corrector (FORCES PDIP-style) ---------
+            # predictor: pure affine scaling (mu = 0, no corrector term)
+            _, dZ_aff, ds_aff = direction(sigma * r_g, fac)
+            dmu_aff = -mu_d - sigma * ds_aff
+            a_p_aff = max_step(s, ds_aff)
+            a_d_aff = max_step(mu_d, dmu_aff)
+            m_ineq = s.size
+            mu_avg = jnp.sum(s * mu_d) / m_ineq
+            mu_aff = jnp.sum(
+                (s + a_p_aff * ds_aff) * (mu_d + a_d_aff * dmu_aff)
+            ) / m_ineq
+            sig_c = jnp.clip(
+                (mu_aff / jnp.maximum(mu_avg, 1e-30)) ** 3,
+                scfg.sigma_min, 1.0,
+            )
+            # floors: (a) tol/20 — unfloored Mehrotra collapses slacks to
+            # ~1e-20 while the nonlinear eq residual is still converging and
+            # the barrier terms overflow; (b) monotone cap at the previous
+            # mu — adaptive centering is allowed to slow down but never to
+            # re-inflate the barrier (tames the convergence tail).
+            mu = jnp.where(
+                done, mu,
+                jnp.clip(sig_c * mu_avg, tol / 20.0, jnp.maximum(mu, tol)),
+            )
+            # corrector: centering + second-order term ds_aff * dmu_aff
+            corr = (mu - ds_aff * dmu_aff) / s
+            sol, dZ, ds = direction(corr + sigma * r_g, fac)
+            mu_d_new_full = corr - sigma * ds
+        else:
+            # ---- monotone Fiacco-McCormick barrier schedule ----------------
+            if scfg.mu_gate:
+                err_mu = jnp.max(jnp.stack([stat, eq, ineq, comp]))
+                shrink = err_mu <= 10.0 * mu
+            else:
+                shrink = jnp.asarray(True)   # ungated geometric schedule
+            mu = jnp.where(
+                shrink & ~done,
+                jnp.maximum(
+                    tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)
+                ),
+                mu,
+            )
+            sol, dZ, ds = direction(mu / s + sigma * r_g, fac)
+            mu_d_new_full = mu / s - sigma * ds
         dmu = mu_d_new_full - mu_d
 
         # new equality multipliers from costates: dynamics rows are +nu_{i+1};
@@ -249,13 +292,6 @@ def solve(
             [-sol.nu[0, :9], jnp.zeros((4,), dtype)]
         )
         lam_plus = lam_plus.at[0].set(lam0_row)
-
-        # fraction-to-boundary
-        tau = jnp.asarray(scfg.frac_to_boundary, dtype)
-
-        def max_step(v, dv):
-            ratio = jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), jnp.inf)
-            return jnp.minimum(1.0, jnp.min(ratio))
 
         a_p = max_step(s, ds)
         a_d = max_step(mu_d, dmu)

@@ -35,8 +35,6 @@ from forces_resilient_planner_tpu.dynamics.quadrotor import (
 from forces_resilient_planner_tpu.solver import nlp
 from forces_resilient_planner_tpu.solver.ipm import SolveResult
 from forces_resilient_planner_tpu.solver.nlp import NLPParams, NXB, NU, NZ
-from forces_resilient_planner_tpu.solver.riccati import solve_lqr_batched
-
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -198,8 +196,52 @@ def solve_lanes(
 ) -> SolveResult:
     """Lane-major batched IPM.  Returns batch-LEADING SolveResult fields
     (Z (B, N, 17), ...) for drop-in compatibility with ipm.solve_batch."""
+    st0 = _init_state(Z0, params, mcfg, scfg)
+    st = _run_lanes(st0, params, mcfg, scfg, scfg.max_iters)
+    return _state_to_result(st)
+
+
+def _init_state(Z0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig):
+    """Initial IPM state tuple (all lane-major, trailing batch B)."""
     N, _, B = Z0.shape
     dtype = Z0.dtype
+    lb, ub = nlp.variable_bounds(mcfg, dtype)
+    hu = jnp.asarray(scfg.corridor_slack, dtype)
+    margin = 1e-3
+    Zc = jnp.clip(Z0, (lb + margin)[None, :, None], (ub - margin)[None, :, None])
+    g0 = _ineq_residuals(Zc, params.corridor_A, params.corridor_b, lb, ub, hu)
+    s0 = jnp.maximum(-g0, 1e-2)
+    mu0 = jnp.full((B,), scfg.mu_init, dtype)
+    mu_d0 = jnp.clip(mu0[None, None] / s0, 1e-6, 1e6)
+    lam0 = jnp.zeros((N, NXB, B), dtype)
+    return (
+        Zc, lam0, s0, mu_d0, mu0,
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.full((B,), jnp.inf, dtype),
+    )
+
+
+def _state_to_result(st) -> SolveResult:
+    Z, lam, s, mu_d, _, it, done, err = st
+    exit_code = jnp.where(done & jnp.isfinite(err), 1, 0).astype(jnp.int32)
+    return SolveResult(
+        Z=jnp.moveaxis(Z, -1, 0),
+        lam=jnp.moveaxis(lam, -1, 0),
+        s=jnp.moveaxis(s, -1, 0),
+        mu_d=jnp.moveaxis(mu_d, -1, 0),
+        exit_code=exit_code,
+        iters=it,
+        kkt_error=err,
+    )
+
+
+def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
+               max_iters: int):
+    """Run the lane-major IPM while_loop from an arbitrary state (resumable:
+    the tiered solver continues compacted sub-batches from mid-solve state)."""
+    N, _, B = st0[0].shape
+    dtype = st0[0].dtype
     w = params.weights
     lb, ub = nlp.variable_bounds(mcfg, dtype)
     hu = jnp.asarray(scfg.corridor_slack, dtype)
@@ -210,14 +252,6 @@ def solve_lanes(
     Acor, bcor = params.corridor_A, params.corridor_b
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tol_ref = jnp.asarray(1e-4, dtype)
-
-    margin = 1e-3
-    Zc = jnp.clip(Z0, (lb + margin)[None, :, None], (ub - margin)[None, :, None])
-    g0 = _ineq_residuals(Zc, Acor, bcor, lb, ub, hu)
-    s0 = jnp.maximum(-g0, 1e-2)
-    mu0 = jnp.full((B,), scfg.mu_init, dtype)
-    mu_d0 = jnp.clip(mu0[None, None] / s0, 1e-6, 1e6)
-    lam0 = jnp.zeros((N, NXB, B), dtype)
 
     f_ext_bl = params.f_ext.T                                # (B, 3)
 
@@ -276,56 +310,51 @@ def solve_lanes(
         err0 = jnp.maximum(jnp.maximum(stat, eq), jnp.maximum(ineq, comp0))
         lane_done = err0 <= tol
 
-        err_mu = jnp.maximum(jnp.maximum(stat, eq), jnp.maximum(ineq, comp))
-        shrink = err_mu <= 10.0 * mu
-        mu_n = jnp.where(
-            shrink & ~lane_done,
-            jnp.maximum(tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)),
-            mu,
-        )
-
         r_g = g + s
         sigma = mu_d / s
-        Wp, Rp, Sp = _assemble_qp_blocks(
-            w, Acor, sigma, jnp.asarray(scfg.reg, dtype), rmax2, dtype
-        )
-        w_vec = mu_n[None, None] / s + sigma * r_g
-        q = grad_f + _ineq_jac_T_times(Acor, w_vec)
-        qx = _xbar_cat(q[:, 8:17], q[:, 4:8])
-        qu = q[:, 0:4]
-
-        Abar = jnp.zeros((N - 1, NXB, NXB, B), dtype)
-        Abar = Abar.at[:, :9, :9].set(Ax)
-        Bbar = jnp.zeros((N - 1, NXB, NU, B), dtype)
-        Bbar = Bbar.at[:, :9, :].set(Bx)
-        Bbar = Bbar.at[:, 9:, :].set(
-            jnp.broadcast_to(jnp.eye(NU, dtype=dtype)[None, :, :, None],
-                             (N - 1, NU, NU, B))
-        )
         dx0 = params.xinit - Z[0, 8:17]
 
         from forces_resilient_planner_tpu.ops import lqr_pallas
+        from forces_resilient_planner_tpu.solver import riccati
 
+        # one factorization per iteration, replayed for every RHS
         if lqr_pallas.pallas_lqr_enabled(dtype, B):
-            dxb, du, nu, _ = lqr_pallas.solve_lqr_lanes(
-                Wp, Rp, Sp, qx, qu, Abar, Bbar, c, dx0
+            # fused kernels: QP blocks + augmented dynamics assembled in
+            # VMEM; the (N,13,13,B) stacks never touch HBM
+            fac = lqr_pallas.lqr_factor_fused_lanes(
+                w.w_wp, w.w_input, w.w_rate, w.w_vel, w.w_uprev0,
+                sigma, Acor, Ax, Bx, scfg.reg, rmax2,
+            )
+            backsolve = lambda qx_, qu_: lqr_pallas.lqr_backsolve_fused_lanes(
+                fac, Ax, Bx, c, qx_, qu_, dx0
             )
         else:
-            dxb, du, nu, _ = solve_lqr_batched(
-                Wp, Rp, Sp, qx, qu, Abar, Bbar, c, dx0
+            Wp, Rp, Sp = _assemble_qp_blocks(
+                w, Acor, sigma, jnp.asarray(scfg.reg, dtype), rmax2, dtype
+            )
+            Abar = jnp.zeros((N - 1, NXB, NXB, B), dtype)
+            Abar = Abar.at[:, :9, :9].set(Ax)
+            Bbar = jnp.zeros((N - 1, NXB, NU, B), dtype)
+            Bbar = Bbar.at[:, :9, :].set(Bx)
+            Bbar = Bbar.at[:, 9:, :].set(
+                jnp.broadcast_to(
+                    jnp.eye(NU, dtype=dtype)[None, :, :, None],
+                    (N - 1, NU, NU, B),
+                )
+            )
+            fac = riccati.lqr_factor_ll(Wp, Rp, Sp, Abar, Bbar)
+            backsolve = lambda qx_, qu_: riccati.lqr_solve_ll(
+                fac, Abar, Bbar, c, qx_, qu_, dx0
             )
 
-        dZ = jnp.concatenate([du, dxb[:, 9:], dxb[:, :9]], axis=1)
-
-        ds = -r_g - _ineq_jac_times(Acor, dZ)
-        mu_d_new_full = mu_n[None, None] / s + sigma * (-ds)
-        dmu = mu_d_new_full - mu_d
-
-        lam_plus = nu
-        lam0_row = jnp.concatenate(
-            [-nu[0, :9], jnp.zeros((4, B), dtype)], axis=0
-        )
-        lam_plus = lam_plus.at[0].set(lam0_row)
+        def direction(w_vec):
+            q = grad_f + _ineq_jac_T_times(Acor, w_vec)
+            dxb, du, nu, _ = backsolve(
+                _xbar_cat(q[:, 8:17], q[:, 4:8]), q[:, 0:4]
+            )
+            dZ = jnp.concatenate([du, dxb[:, 9:], dxb[:, :9]], axis=1)
+            ds = -r_g - _ineq_jac_times(Acor, dZ)
+            return dZ, ds, nu
 
         tau = jnp.asarray(scfg.frac_to_boundary, dtype)
 
@@ -334,6 +363,55 @@ def solve_lanes(
                 dv < 0, -tau * v / jnp.minimum(dv, -1e-30), jnp.inf
             )
             return jnp.minimum(1.0, jnp.min(ratio, axis=(0, 1)))
+
+        if scfg.predictor_corrector:
+            # ---- Mehrotra predictor-corrector (see ipm.py) -----------------
+            dZ_aff, ds_aff, _ = direction(sigma * r_g)
+            dmu_aff = -mu_d - sigma * ds_aff
+            a_p_aff = max_step(s, ds_aff)[None, None]
+            a_d_aff = max_step(mu_d, dmu_aff)[None, None]
+            m_ineq = N * s.shape[1]
+            mu_avg = jnp.sum(s * mu_d, axis=(0, 1)) / m_ineq
+            mu_aff = jnp.sum(
+                (s + a_p_aff * ds_aff) * (mu_d + a_d_aff * dmu_aff),
+                axis=(0, 1),
+            ) / m_ineq
+            sig_c = jnp.clip(
+                (mu_aff / jnp.maximum(mu_avg, 1e-30)) ** 3,
+                scfg.sigma_min, 1.0,
+            )
+            # tol/20 floor + monotone cap: see ipm.py
+            mu_n = jnp.where(
+                lane_done, mu,
+                jnp.clip(sig_c * mu_avg, tol / 20.0, jnp.maximum(mu, tol)),
+            )
+            corr = (mu_n[None, None] - ds_aff * dmu_aff) / s
+            dZ, ds, nu = direction(corr + sigma * r_g)
+            mu_d_new_full = corr - sigma * ds
+        else:
+            if scfg.mu_gate:
+                err_mu = jnp.maximum(
+                    jnp.maximum(stat, eq), jnp.maximum(ineq, comp)
+                )
+                shrink = err_mu <= 10.0 * mu
+            else:
+                shrink = jnp.ones_like(lane_done)
+            mu_n = jnp.where(
+                shrink & ~lane_done,
+                jnp.maximum(
+                    tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)
+                ),
+                mu,
+            )
+            dZ, ds, nu = direction(mu_n[None, None] / s + sigma * r_g)
+            mu_d_new_full = mu_n[None, None] / s - sigma * ds
+        dmu = mu_d_new_full - mu_d
+
+        lam_plus = nu
+        lam0_row = jnp.concatenate(
+            [-nu[0, :9], jnp.zeros((4, B), dtype)], axis=0
+        )
+        lam_plus = lam_plus.at[0].set(lam0_row)
 
         a_p = max_step(s, ds)[None, None]                    # (1, 1, B)
         a_d = max_step(mu_d, dmu)[None, None]
@@ -361,7 +439,7 @@ def solve_lanes(
         """One global step: lanes whose own cond is false keep their state
         (exact vmap(while_loop) semantics, lane by lane)."""
         Z, lam, s, mu_d, mu, it, done, err = st
-        active = (~done) & (it < scfg.max_iters)             # (B,)
+        active = (~done) & (it < max_iters)                  # (B,)
         new = body(st)
         am = active[None, None]
         Z_o = jnp.where(am, new[0], Z)
@@ -374,27 +452,10 @@ def solve_lanes(
         err_o = jnp.where(active, new[7], err)
         return (Z_o, lam_o, s_o, mu_d_o, mu_o, it_o, done_o, err_o)
 
-    st0 = (
-        Zc, lam0, s0, mu_d0, mu0,
-        jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), bool),
-        jnp.full((B,), jnp.inf, dtype),
-    )
-    st = jax.lax.while_loop(
-        lambda st: jnp.any((~st[6]) & (st[5] < scfg.max_iters)),
+    return jax.lax.while_loop(
+        lambda st: jnp.any((~st[6]) & (st[5] < max_iters)),
         stepper,
         st0,
-    )
-    Z, lam, s, mu_d, _, it, done, err = st
-    exit_code = jnp.where(done & jnp.isfinite(err), 1, 0).astype(jnp.int32)
-    return SolveResult(
-        Z=jnp.moveaxis(Z, -1, 0),
-        lam=jnp.moveaxis(lam, -1, 0),
-        s=jnp.moveaxis(s, -1, 0),
-        mu_d=jnp.moveaxis(mu_d, -1, 0),
-        exit_code=exit_code,
-        iters=it,
-        kkt_error=err,
     )
 
 
@@ -421,4 +482,83 @@ def solve_batch_lanes(
     vmap path pays."""
     return solve_lanes(
         jnp.moveaxis(Z0, 0, -1), lanes_params(params), mcfg, scfg
+    )
+
+
+# ---------------------------------------------------------------------------
+# tiered solve: full-batch phase + compacted tail phase
+# ---------------------------------------------------------------------------
+# The lockstep while_loop runs until the SLOWEST lane converges: on a 4096-
+# scenario grid the mean is ~14 iterations but the max is ~21, so ~1/3 of
+# the wall clock is spent stepping a batch where >90% of lanes are already
+# masked off.  Tiering exploits the convergence histogram: run everyone for
+# phase1 iterations, then gather the unconverged minority into a small
+# sub-batch (fixed shape - still one jit, no host round-trip) and let only
+# that sub-batch run the expensive tail iterations at a fraction of the
+# per-iteration cost.
+
+def _take_lanes(a, idx):
+    """Gather lanes (the MINOR axis) via a leading-axis take: minor-dim
+    gathers serialize on the TPU vector unit (see CLAUDE.md), a transposed
+    take does not."""
+    if a.ndim == 1:
+        return jnp.take(a, idx, axis=0)
+    return jnp.moveaxis(jnp.take(jnp.moveaxis(a, -1, 0), idx, axis=0), 0, -1)
+
+
+def _put_lanes(a, idx, sub):
+    if a.ndim == 1:
+        return a.at[idx].set(sub)
+    al = jnp.moveaxis(a, -1, 0)
+    al = al.at[idx].set(jnp.moveaxis(sub, -1, 0))
+    return jnp.moveaxis(al, 0, -1)
+
+
+def solve_lanes_tiered(
+    Z0: jnp.ndarray,          # (N, 17, B) lane-major warm start
+    params: NLPParams,        # lane-major
+    mcfg: ModelConfig,
+    scfg: SolverConfig,
+    phase1_iters: int,
+    tail_lanes: int,
+) -> SolveResult:
+    """Two-tier lane-major IPM.
+
+    Lanes still unconverged after phase1_iters are compacted (stable
+    argsort on the done mask, unconverged first) into a tail_lanes-wide
+    sub-batch that resumes from its exact mid-solve state, so per-lane
+    results are bit-identical to the single-phase solver whenever the
+    unconverged count fits in tail_lanes.  If it overflows (choose
+    tail_lanes from the workload's iteration histogram so this is rare),
+    the overflowed lanes keep their phase-1 state and report exit code 0,
+    exactly as if max_iters had been phase1_iters for them.
+    """
+    st = _run_lanes(
+        _init_state(Z0, params, mcfg, scfg), params, mcfg, scfg, phase1_iters
+    )
+    done = st[6]
+    order = jnp.argsort(done, stable=True)     # unconverged first
+    idx = order[:tail_lanes]
+    sub_st = tuple(_take_lanes(a, idx) for a in st)
+    sub_params = jax.tree.map(lambda a: _take_lanes(a, idx), params)
+    sub_st = _run_lanes(sub_st, sub_params, mcfg, scfg, scfg.max_iters)
+    merged = tuple(
+        _put_lanes(a, idx, b) for a, b in zip(st, sub_st)
+    )
+    return _state_to_result(merged)
+
+
+def solve_batch_lanes_tiered(
+    Z0: jnp.ndarray, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig
+) -> SolveResult:
+    """Batch-leading wrapper for the tiered solver, parameterized by
+    scfg.tier_phase1 / scfg.tier_frac (tier_phase1 <= 0 = single phase)."""
+    if scfg.tier_phase1 <= 0:
+        return solve_batch_lanes(Z0, params, mcfg, scfg)
+    B = Z0.shape[0]
+    tail = max(128, int(round(B * scfg.tier_frac / 128.0)) * 128)
+    tail = min(tail, B)
+    return solve_lanes_tiered(
+        jnp.moveaxis(Z0, 0, -1), lanes_params(params), mcfg, scfg,
+        scfg.tier_phase1, tail,
     )

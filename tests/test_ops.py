@@ -104,3 +104,86 @@ def test_routing_flag(monkeypatch):
     assert lqr_pallas.pallas_lqr_enabled(jnp.float64, 8)
     monkeypatch.setenv("FRP_PALLAS_LQR", "0")
     assert not lqr_pallas.pallas_lqr_enabled(jnp.float32, 4096)
+
+
+def test_fused_assembly_kernels_match_xla_path():
+    """The fused assembly+factor / backsolve kernels must reproduce the
+    XLA path (host-side _assemble_qp_blocks + lane-major factor/solve)
+    exactly for real NLP data."""
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C
+    from forces_resilient_planner_tpu.engine import batch as bm
+    from forces_resilient_planner_tpu.solver import ipm_lanes, nlp as nlpm
+
+    rng = np.random.default_rng(7)
+    goals = rng.uniform([-2, -2, 1.0], [2, 2, 1.5], (4, 3))
+    forces = rng.uniform(-1.0, 1.0, (2, 3))
+    halves = np.array([[4.0, 4.0, 1.5]])
+    sc = bm.make_scenarios(C, goals, forces, halves, dtype=jnp.float64)
+    lp = ipm_lanes.lanes_params(sc.params)
+    Z = jnp.moveaxis(sc.Z0, 0, -1)
+    N = Z.shape[0]
+    Bn = Z.shape[-1]
+    dtype = Z.dtype
+    w = lp.weights
+    rmax2 = C.model.max_rate ** 2
+    lb, ub = nlpm.variable_bounds(C.model, dtype)
+    g0 = ipm_lanes._ineq_residuals(
+        Z, lp.corridor_A, lp.corridor_b, lb, ub, 1e-5
+    )
+    s = np.maximum(-np.asarray(g0), 1e-2)
+    sigma = jnp.asarray(np.clip(1.0 / s, 1e-6, 1e6) / s)
+
+    x_bl = jnp.moveaxis(Z[:-1, 8:17], 1, -1)
+    u_bl = jnp.moveaxis(Z[:-1, 0:4], 1, -1)
+    from forces_resilient_planner_tpu.dynamics.quadrotor import (
+        rk2_jacobians_analytic,
+        rk2_step,
+    )
+
+    f_bl = lp.f_ext.T
+    Ax, Bx = rk2_jacobians_analytic(x_bl, u_bl, f_bl[None], C.model)
+    Ax = jnp.moveaxis(Ax, 1, -1)
+    Bx = jnp.moveaxis(Bx, 1, -1)
+    xn = rk2_step(x_bl, u_bl, f_bl[None], C.model)
+    F = jnp.concatenate([jnp.moveaxis(xn, -1, 1), Z[:-1, 0:4]], axis=1)
+    c = F - jnp.concatenate([Z[1:, 8:17], Z[1:, 4:8]], axis=1)
+    qx = jnp.asarray(rng.standard_normal((N, 13, Bn)), dtype)
+    qu = jnp.asarray(rng.standard_normal((N, 4, Bn)), dtype)
+    dx0 = jnp.asarray(0.01 * rng.standard_normal((9, Bn)), dtype)
+
+    # XLA reference path
+    from forces_resilient_planner_tpu.solver import riccati
+
+    Wp, Rp, Sp = ipm_lanes._assemble_qp_blocks(
+        w, lp.corridor_A, sigma, jnp.asarray(C.solver.reg, dtype),
+        rmax2, dtype,
+    )
+    NXB, NU = 13, 4
+    Abar = jnp.zeros((N - 1, NXB, NXB, Bn), dtype).at[:, :9, :9].set(Ax)
+    Bbar = (
+        jnp.zeros((N - 1, NXB, NU, Bn), dtype)
+        .at[:, :9, :].set(Bx)
+        .at[:, 9:, :].set(
+            jnp.broadcast_to(
+                jnp.eye(NU, dtype=dtype)[None, :, :, None],
+                (N - 1, NU, NU, Bn),
+            )
+        )
+    )
+    ref = riccati.solve_lqr_batched(Wp, Rp, Sp, qx, qu, Abar, Bbar, c, dx0)
+
+    fac = lqr_pallas.lqr_factor_fused_lanes(
+        w.w_wp, w.w_input, w.w_rate, w.w_vel, w.w_uprev0,
+        sigma, lp.corridor_A, Ax, Bx, C.solver.reg, rmax2,
+        interpret=True,
+    )
+    out = lqr_pallas.lqr_backsolve_fused_lanes(
+        fac, Ax, Bx, c, qx, qu, dx0, interpret=True
+    )
+    for got, want, name in zip(out, ref, ["dxb", "du", "nu", "dtheta"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-9,
+            err_msg=name,
+        )
