@@ -147,3 +147,33 @@ def test_timers_and_scene_and_checkpoint(tmp_path):
     path = ckpt.save(tmp_path / "ck", state, {"note": "test"})
     back = ckpt.load(path, like=state)
     np.testing.assert_allclose(back["Z"], state["Z"])
+
+
+def test_aot_export_roundtrip():
+    """The exported solver artifact (the FORCES-codegen analog,
+    generate_solver.m) must reproduce the live jit path exactly."""
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C
+    from forces_resilient_planner_tpu.engine import batch as bm
+    from forces_resilient_planner_tpu.solver import ipm_lanes
+    from forces_resilient_planner_tpu.utils import aot
+
+    rng = np.random.default_rng(2)
+    goals = rng.uniform([-2, -2, 1.0], [2, 2, 1.5], (2, 3))
+    forces = np.zeros((2, 3))
+    halves = np.array([[4.0, 4.0, 1.5]])
+    sc = bm.make_scenarios(C, goals, forces, halves, dtype=jnp.float64)
+
+    blob = aot.export_batched_solver(C, batch=sc.Z0.shape[0],
+                                     dtype=jnp.float64)
+    assert len(blob) > 1000
+    solver = aot.load_solver(blob)
+    got = solver(sc.Z0, sc.params)
+    ref = ipm_lanes.solve_batch_lanes_tiered(
+        sc.Z0, sc.params, C.model, C.solver
+    )
+    np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(ref.iters))
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref.Z), rtol=0, atol=0
+    )
