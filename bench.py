@@ -21,8 +21,19 @@ import numpy as np
 
 def main():
     import dataclasses
+    from pathlib import Path
 
     import jax
+
+    # persistent compile cache: the fused-kernel solver program costs
+    # ~8 min to compile cold through the remote helper; cached executables
+    # load in seconds across processes/relay restarts
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     import jax.numpy as jnp
 
     from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
