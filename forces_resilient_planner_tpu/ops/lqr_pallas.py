@@ -195,13 +195,18 @@ def _bbar(Bx_i):
 
 
 def _assemble_stage(
-    i, w_wp, w_input, w_rate, w_vel, w_uprev0, sigma_ref, Acor_ref, reg, rmax2,
+    i, w_wp_ref, w_input_ref, w_rate_ref, w_vel_ref, w_uprev0_ref,
+    sigma_ref, Acor_ref, reg, rmax2,
 ):
     """Barrier-weighted stage QP blocks (Wp, Rp, Sp) for stage i, built in
     VMEM from the weight table + sigma + corridor rows — the in-kernel
     version of solver/ipm_lanes.py::_assemble_qp_blocks (same sparsity:
     tracking/vel/rate diagonals, u<->u_prev coupling, bound sigmas on every
-    diagonal, dense corridor 3x3 position block)."""
+    diagonal, dense corridor 3x3 position block).
+
+    Mosaic has no scatter lowering, so everything is built from eye-masked
+    broadcasts and concatenations — never `.at[...]` updates.
+    """
     dtype = sigma_ref.dtype
     L = sigma_ref.shape[-1]
     sig = sigma_ref[i]                                      # (64, L)
@@ -211,37 +216,53 @@ def _assemble_stage(
     sc = sig[34:64]                                         # (30, L)
     A = Acor_ref[i]                                         # (30, 3, L)
 
-    wr = w_rate[i]                                          # (L,)
-    r_diag = 2.0 * wr[None] + sig_u + reg                   # (4, L)
-    r_in = 2.0 * w_input[i][None] / rmax2
-    r03 = r_diag[0:3] + r_in
-    Rp = jnp.zeros((NU, NU, L), dtype)
-    for k in range(3):
-        Rp = Rp.at[k, k].set(r03[k])
-    Rp = Rp.at[3, 3].set(r_diag[3])
+    eye4 = jnp.eye(NU, dtype=dtype)[:, :, None]
+    eye13 = jnp.eye(NXB, dtype=dtype)[:, :, None]
+    wr = w_rate_ref[i][None]                                # (1, L)
+    wp_i = w_wp_ref[i][None]
+    # --- Rp: diag(2 w_rate + sig_u + reg [+ 2 w_input / rmax2 on 0:3]) ---
+    r_diag = 2.0 * wr + sig_u + reg                         # (4, L)
+    r_in = 2.0 * w_input_ref[i][None] / rmax2
+    r_diag = jnp.concatenate([r_diag[0:3] + r_in, r_diag[3:4]], axis=0)
+    Rp = eye4 * r_diag[None]                                # (4, 4, L)
 
-    x_diag = sig_x + reg                                    # (9, L)
-    x_diag = x_diag.at[0:3].add(2.0 * w_wp[i][None])
-    x_diag = x_diag.at[3:6].add(2.0 * w_vel[i][None])
-    x_diag = x_diag.at[8].add(24.0 * w_wp[i])
-    up_diag = 2.0 * wr[None] + sig_up + reg
-    up_diag = up_diag.at[0:3].add(2.0 * w_uprev0[i][None])
-    Wp = jnp.zeros((NXB, NXB, L), dtype)
-    for k in range(9):
-        Wp = Wp.at[k, k].set(x_diag[k])
-    for k in range(NU):
-        Wp = Wp.at[9 + k, 9 + k].set(up_diag[k])
-    for j in range(3):
-        Asj = A[:, j] * sc                                  # (30, L)
-        for l in range(j, 3):
-            blk = jnp.sum(Asj * A[:, l], axis=0)
-            Wp = Wp.at[j, l].add(blk)
-            if l != j:
-                Wp = Wp.at[l, j].add(blk)
+    # --- Wp: diag([x_diag, up_diag]) + corridor 3x3 position block -------
+    x_add = jnp.concatenate(
+        [
+            jnp.broadcast_to(2.0 * wp_i, (3, L)),
+            jnp.broadcast_to(2.0 * w_vel_ref[i][None], (3, L)),
+            jnp.zeros((2, L), dtype),
+            24.0 * wp_i,
+        ],
+        axis=0,
+    )
+    x_diag = sig_x + reg + x_add                            # (9, L)
+    up_add = jnp.concatenate(
+        [jnp.broadcast_to(2.0 * w_uprev0_ref[i][None], (3, L)),
+         jnp.zeros((1, L), dtype)],
+        axis=0,
+    )
+    up_diag = 2.0 * wr + sig_up + reg + up_add              # (4, L)
+    diag13 = jnp.concatenate([x_diag, up_diag], axis=0)     # (13, L)
+    Wp = eye13 * diag13[None]                               # (13, 13, L)
 
-    Sp = jnp.zeros((NU, NXB, L), dtype)
-    for k in range(NU):
-        Sp = Sp.at[k, 9 + k].set(-2.0 * wr)
+    As = A * sc[:, None]                                    # (30, 3, L)
+    # blk[j, l] = sum_k As[k, j] A[k, l]; as an unrolled _mm contraction
+    # (Mosaic cannot reduce over a strided-slice dimension)
+    blk = _mm(_t(As), A)                                    # (3, 3, L)
+    blk_p = jnp.concatenate(
+        [
+            jnp.concatenate([blk, jnp.zeros((3, 10, L), dtype)], axis=1),
+            jnp.zeros((10, NXB, L), dtype),
+        ],
+        axis=0,
+    )
+    Wp = Wp + blk_p
+
+    # --- Sp: only the u <-> u_prev rate coupling at [k, 9+k] -------------
+    Sp = jnp.concatenate(
+        [jnp.zeros((NU, 9, L), dtype), -2.0 * wr[None] * eye4], axis=1
+    )
     return Wp, Rp, Sp
 
 
@@ -258,8 +279,7 @@ def _lqr_factor_fused_kernel(
     reg = scal_ref[0]
     rmax2 = scal_ref[1]
     wargs = (
-        w_wp_ref[:], w_input_ref[:], w_rate_ref[:], w_vel_ref[:],
-        w_uprev0_ref[:],
+        w_wp_ref, w_input_ref, w_rate_ref, w_vel_ref, w_uprev0_ref,
     )
 
     Q_t, R_t, S_t = _assemble_stage(
@@ -269,9 +289,10 @@ def _lqr_factor_fused_kernel(
     RiS = _chol4_solve(f_term, S_t)
     cRt_ref[:] = jnp.stack(f_term, axis=0)
     RiS_ref[:] = RiS
-    P = Q_t - _mm(_t(S_t), RiS)
-    P_ref[N - 1] = P
+    P_term = Q_t - _mm(_t(S_t), RiS)
+    P_ref[N - 1] = P_term
 
+    P = P_term
     for i in range(N - 2, -1, -1):
         Ai = _abar(Ax_ref[i])
         Bi = _bbar(Bx_ref[i])
@@ -303,29 +324,31 @@ def _lqr_solve_fused_kernel(
     N = qx_ref.shape[0]
     RiS = RiS_ref[:]
     Riqu = _chol4_solve_packed(cRt_ref[:], qu_ref[N - 1][:, None])[:, 0]
-    p = qx_ref[N - 1] - _mv(_t(RiS), qu_ref[N - 1])
-    p_scr[N - 1] = p
+    p_term = qx_ref[N - 1] - _mv(_t(RiS), qu_ref[N - 1])
+    p_scr[N - 1] = p_term
 
+    p0 = p_term
     for i in range(N - 2, -1, -1):
         Ai = _abar(Ax_ref[i])
         Bi = _bbar(Bx_ref[i])
-        Pc = p + _mv(P_ref[i + 1], c_ref[i])
+        Pc = p0 + _mv(P_ref[i + 1], c_ref[i])
         qxh = qx_ref[i] + _mv(_t(Ai), Pc)
         quh = qu_ref[i] + _mv(_t(Bi), Pc)
         k = -_chol4_solve_packed(cRh_ref[i], quh[:, None])[:, 0]
         k_scr[i] = k
-        p = qxh + _mv(_t(K_ref[i]), quh)
-        p_scr[i] = p
+        p0 = qxh + _mv(_t(K_ref[i]), quh)
+        p_scr[i] = p0
 
     P0 = P_ref[0]
     Pxt = P0[:9, 9:]
     Ptt = P0[9:, 9:]
     dx0 = dx0_ref[:]
-    rhs = -(p[9:] + _mv(_t(Pxt), dx0))
+    rhs = -(p0[9:] + _mv(_t(Pxt), dx0))
     dtheta = _chol4_solve(_chol4(Ptt), rhs[:, None])[:, 0]
     dtheta_ref[:] = dtheta
-    dxb = jnp.concatenate([dx0, dtheta], axis=0)
+    dxb0 = jnp.concatenate([dx0, dtheta], axis=0)
 
+    dxb = dxb0
     for i in range(N - 1):
         du = _mv(K_ref[i], dxb) + k_scr[i]
         dxb_ref[i] = dxb
