@@ -115,6 +115,11 @@ class SolverConfig:
     # tier_phase1 <= 0 disables tiering.
     tier_phase1: int = 0
     tier_frac: float = 0.25
+    # Multi-level schedule ((iter_cap, frac_of_full_batch), ...) — when
+    # non-empty it overrides tier_phase1/tier_frac and each level compacts
+    # the still-unconverged lanes into a smaller sub-batch
+    # (solver/ipm_lanes.py::solve_lanes_multitier).
+    tiers: Tuple[Tuple[int, float], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

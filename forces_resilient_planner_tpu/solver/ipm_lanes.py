@@ -548,17 +548,72 @@ def solve_lanes_tiered(
     return _state_to_result(merged)
 
 
+def solve_lanes_multitier(
+    Z0: jnp.ndarray,          # (N, 17, B) lane-major warm start
+    params: NLPParams,        # lane-major
+    mcfg: ModelConfig,
+    scfg: SolverConfig,
+    schedule,                 # ((iter_cap_0, tail_lanes_1), (iter_cap_1, tail_lanes_2), ...)
+) -> SolveResult:
+    """Multi-level tiered lane-major IPM.
+
+    Generalizes solve_lanes_tiered: after running the full batch to
+    schedule[0][0] total iterations, the unconverged minority is compacted
+    into schedule[0][1] lanes and run to schedule[1][0] iterations, then
+    compacted again into schedule[1][1] lanes, and so on; the last level
+    runs to scfg.max_iters.  The convergence histogram's thin tail (a few
+    percent of lanes past ~phase1+2 iterations) then costs a few percent
+    of a full-batch iteration instead of 25%.  Same bit-exactness /
+    overflow semantics as solve_lanes_tiered, level by level.
+    """
+    st = _run_lanes(
+        _init_state(Z0, params, mcfg, scfg), params, mcfg, scfg,
+        schedule[0][0],
+    )
+
+    def level(st, params, i):
+        tail_lanes = schedule[i][1]
+        done = st[6]
+        order = jnp.argsort(done, stable=True)     # unconverged first
+        idx = order[:tail_lanes]
+        sub_st = tuple(_take_lanes(a, idx) for a in st)
+        sub_params = jax.tree.map(lambda a: _take_lanes(a, idx), params)
+        next_cap = (
+            schedule[i + 1][0] if i + 1 < len(schedule) else scfg.max_iters
+        )
+        sub_st = _run_lanes(sub_st, sub_params, mcfg, scfg, next_cap)
+        if i + 1 < len(schedule):
+            sub_st = level(sub_st, sub_params, i + 1)
+        return tuple(_put_lanes(a, idx, b) for a, b in zip(st, sub_st))
+
+    return _state_to_result(level(st, params, 0))
+
+
+def _round_lanes(B: int, frac: float) -> int:
+    return min(B, max(128, int(round(B * frac / 128.0)) * 128))
+
+
 def solve_batch_lanes_tiered(
     Z0: jnp.ndarray, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig
 ) -> SolveResult:
-    """Batch-leading wrapper for the tiered solver, parameterized by
-    scfg.tier_phase1 / scfg.tier_frac (tier_phase1 <= 0 = single phase)."""
+    """Batch-leading wrapper for the tiered solver.
+
+    scfg.tiers, when non-empty, gives a multi-level ((iter_cap, frac), ...)
+    schedule (frac = fraction of the FULL batch, rounded to 128 lanes);
+    otherwise scfg.tier_phase1 / scfg.tier_frac select the two-phase solver
+    (tier_phase1 <= 0 = single phase)."""
+    B = Z0.shape[0]
+    if scfg.tiers:
+        schedule = tuple(
+            (cap, _round_lanes(B, frac)) for cap, frac in scfg.tiers
+        )
+        return solve_lanes_multitier(
+            jnp.moveaxis(Z0, 0, -1), lanes_params(params), mcfg, scfg,
+            schedule,
+        )
     if scfg.tier_phase1 <= 0:
         return solve_batch_lanes(Z0, params, mcfg, scfg)
-    B = Z0.shape[0]
-    tail = max(128, int(round(B * scfg.tier_frac / 128.0)) * 128)
-    tail = min(tail, B)
     return solve_lanes_tiered(
         jnp.moveaxis(Z0, 0, -1), lanes_params(params), mcfg, scfg,
-        scfg.tier_phase1, tail,
+        scfg.tier_phase1, _round_lanes(B, scfg.tier_frac),
     )

@@ -110,3 +110,43 @@ def test_tiered_solver_bit_identical_when_tail_covers():
     ec = np.asarray(got2.exit_code)
     assert np.isfinite(np.asarray(got2.Z)).all()
     assert (ec[np.asarray(got2.iters) >= 6] != 1).any() or (ec == 1).all()
+
+
+def test_multitier_solver_bit_identical_when_tails_cover():
+    """Multi-level tiered compaction must reproduce the single-phase solver
+    exactly when every level's tail covers the unconverged count."""
+    import dataclasses
+
+    sc = _scenarios()
+    ref = ipm_lanes.solve_batch_lanes(sc.Z0, sc.params, C.model, C.solver)
+
+    # wrapper path (fracs round up to cover the tiny test batch entirely)
+    scfg = dataclasses.replace(
+        C.solver, tiers=((6, 1.0), (9, 1.0))
+    )
+    got = ipm_lanes.solve_batch_lanes_tiered(sc.Z0, sc.params, C.model, scfg)
+    np.testing.assert_array_equal(
+        np.asarray(got.exit_code), np.asarray(ref.exit_code)
+    )
+    np.testing.assert_array_equal(np.asarray(got.iters), np.asarray(ref.iters))
+    np.testing.assert_allclose(
+        np.asarray(got.Z), np.asarray(ref.Z), rtol=0, atol=0
+    )
+
+    # direct path with genuinely shrinking sub-batches: still exact as long
+    # as each level covers the lanes that remain unconverged at its cutoff
+    it = np.asarray(ref.iters)
+    B = it.size
+    lanes1 = int((it > 8).sum())
+    lanes2 = int((it > 11).sum())
+    if lanes1 >= 1 and lanes2 >= 1:
+        got2 = ipm_lanes.solve_lanes_multitier(
+            jnp.moveaxis(sc.Z0, 0, -1), ipm_lanes.lanes_params(sc.params),
+            C.model, C.solver, ((8, lanes1), (11, lanes2)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got2.iters), np.asarray(ref.iters)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got2.Z), np.asarray(ref.Z), rtol=0, atol=0
+        )
