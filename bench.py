@@ -39,14 +39,16 @@ def main():
     from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
     from forces_resilient_planner_tpu.engine import batch as bm
 
-    # tiered batch solve (solver/ipm_lanes.py::solve_lanes_tiered): phase-1
-    # cutoff and tail fraction chosen from this workload's iteration
-    # histogram (12.5% of lanes need >16 iterations, 2.7% need >17);
-    # worth ~1.2x over the single-phase lockstep while_loop.
+    # multi-level tiered batch solve (solver/ipm_lanes.py::
+    # solve_lanes_multitier): compaction levels chosen from this workload's
+    # iteration histogram (tools/iteration_histogram.py: 12.3% of lanes
+    # need >16 iterations, 2.7% >17, 0.45% >18, max 21) with >=2x lane
+    # headroom per level.  Worth ~1.25x over the single-phase lockstep
+    # while_loop and ~1.05x over the two-phase schedule.
     C = dataclasses.replace(
         DEFAULT_CONFIG,
         solver=dataclasses.replace(
-            DEFAULT_CONFIG.solver, tier_phase1=16, tier_frac=0.25
+            DEFAULT_CONFIG.solver, tiers=((16, 0.25), (18, 0.0625))
         ),
     )
 

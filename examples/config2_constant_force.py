@@ -13,6 +13,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
+    import os
+
+    import jax
+    if os.environ.get("FRP_CPU"):    # sitecustomize overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C

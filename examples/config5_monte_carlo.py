@@ -25,7 +25,11 @@ def main():
     ap.add_argument("--ckpt-dir", default="mc_sweep_ckpt")
     args = ap.parse_args()
 
+    import os
+
     import jax
+    if os.environ.get("FRP_CPU"):    # sitecustomize overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C
