@@ -6,6 +6,11 @@ from pathlib import Path
 
 import numpy as np
 
+sys_path_root = str(Path(__file__).resolve().parents[1])
+import sys as _sys
+if sys_path_root not in _sys.path:
+    _sys.path.insert(0, sys_path_root)
+
 
 def main():
     import jax
