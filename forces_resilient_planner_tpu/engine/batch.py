@@ -169,7 +169,10 @@ def solve_scenario_grid(
     if x0 is None:
         x0 = np.zeros(9)
         x0[2] = 1.2
-    key = (id(cfg), goals.shape, forces.shape, corridor_halves.shape,
+    # key by VALUE (PlannerConfig is a frozen/hashable dataclass): id() keys
+    # are reused after GC, which could silently serve a stale executable
+    # compiled against a different config's constants
+    key = (cfg, goals.shape, forces.shape, corridor_halves.shape,
            str(dtype))
     if key not in _jitted_sweeps:
         weights = nlp.make_stage_weights(
@@ -210,7 +213,7 @@ def solve_scenarios(
     scen: ScenarioSet, cfg: PlannerConfig
 ) -> ipm.SolveResult:
     """One batched jitted solve (compiled once per config, cached)."""
-    key = id(cfg)
+    key = cfg  # by value: frozen/hashable (see solve_scenario_grid)
     if key not in _jitted_solvers:
         _jitted_solvers[key] = jax.jit(
             lambda Z0, params: ipm_lanes.solve_batch_lanes_tiered(

@@ -1,7 +1,7 @@
 """High-accuracy CPU oracle for solver parity testing.
 
 Independently re-solves the identical NLP (same RK2 dynamics, costs, bounds,
-corridor constraints, tolerances) with scipy's trust-constr on the condensed
+corridor constraints, tolerances) with scipy's SLSQP on the condensed
 control-space formulation.  This replaces the expired FORCES Pro binaries as
 the parity reference (BASELINE.md caveat: embedded license expired
 2021-10-29, exit code -100).

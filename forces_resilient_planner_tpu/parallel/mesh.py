@@ -38,7 +38,6 @@ def make_mesh(devices=None, shape: Sequence[int] | None = None,
             shape = (n,)
         else:
             # fold into 2 axes: as square as possible
-            a = int(np.gcd(n, int(np.sqrt(n)) or 1)) or 1
             best = 1
             for d in range(1, int(np.sqrt(n)) + 1):
                 if n % d == 0:

@@ -566,6 +566,12 @@ def solve_lanes_multitier(
     of a full-batch iteration instead of 25%.  Same bit-exactness /
     overflow semantics as solve_lanes_tiered, level by level.
     """
+    assert len(schedule) > 0, "multitier schedule must be non-empty"
+    # clamp each level's cap so a schedule entry can never run lanes past
+    # scfg.max_iters (the last level's implicit cap)
+    schedule = tuple(
+        (min(cap, scfg.max_iters), lanes) for cap, lanes in schedule
+    )
     st = _run_lanes(
         _init_state(Z0, params, mcfg, scfg), params, mcfg, scfg,
         schedule[0][0],

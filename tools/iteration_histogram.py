@@ -16,7 +16,7 @@ def main():
     import jax
     jax.config.update(
         "jax_compilation_cache_dir",
-        str(Path(__file__).resolve().parent / ".jax_cache"),
+        str(Path(__file__).resolve().parents[1] / ".jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 

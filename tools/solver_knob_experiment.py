@@ -1,6 +1,6 @@
 """Solver-knob experiment runner (real chip).
 
-Usage: python exp_run.py '{"mu_init": 0.1}' [tag]
+Usage: python tools/solver_knob_experiment.py '{"mu_init": 0.1}' [tag]
 Applies the JSON dict as dataclasses.replace overrides on DEFAULT_CONFIG.solver
 ("tiers" lists become tuples), runs the 4096-scenario grid, prints timing +
 iteration histogram.
@@ -23,7 +23,7 @@ def main():
     import jax
     jax.config.update(
         "jax_compilation_cache_dir",
-        str(Path(__file__).resolve().parent / ".jax_cache"),
+        str(Path(__file__).resolve().parents[1] / ".jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
