@@ -1,28 +1,62 @@
 """Headline benchmark: NMPC solves/s/chip at N=20 (BASELINE config 4).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
 vs_baseline is measured against the reference's real-time anchor: the
 FORCES-Pro-based planner solves one 20-stage NMPC per 50 ms tick
 (20 solves/s, nmpc_manage.cpp:46 / BASELINE.md).
 
-Also reports (stderr): p99 batched-solve latency, solved fraction, mean IPM
-iterations, and single-solve latency vs the 50 ms budget.
+Also measured (stderr + "extras"): single-solve latency vs the 50 ms
+budget (B=1, untiered), full-pipeline nmpc_step latency (references ->
+tubes -> corridors -> solve, the driver entry config), and the on-chip
+parity certificate from tools/tpu_parity_check.py when PARITY_TPU.json
+is present (the f32+Pallas+tiered path vs the f64 CPU oracle on the SAME
+scenario set this benchmark times).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
+HALVES = np.array([[5.0, 5.0, 2.0]])
+N_GOALS, N_FORCES = 256, 16
 
-def main():
-    import dataclasses
-    from pathlib import Path
 
+def bench_config():
+    """The exact benchmarked configuration (shared with
+    tools/tpu_parity_check.py so the parity certificate covers the same
+    executable path).
+
+    Multi-level tier schedule chosen from this workload's iteration
+    histogram (tools/iteration_histogram.py: 12.3% of lanes need >16
+    iterations, 2.7% >17, 0.45% >18, max 21) with >=2x lane headroom per
+    level.  Worth ~1.25x over the single-phase lockstep while_loop.
+    """
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+
+    return dataclasses.replace(
+        DEFAULT_CONFIG,
+        solver=dataclasses.replace(
+            DEFAULT_CONFIG.solver, tiers=((16, 0.25), (18, 0.0625))
+        ),
+    )
+
+
+def bench_seeds(seed, n_goals=N_GOALS, n_forces=N_FORCES):
+    """Scenario seed set: goals x forces grid, deterministic per seed."""
+    rng = np.random.default_rng(seed)
+    goals = rng.uniform([-3, -3, 1.0], [3, 3, 1.6], (n_goals, 3))
+    forces = rng.uniform(-1.5, 1.5, (n_forces, 3))
+    return goals, forces
+
+
+def setup_cache():
     import jax
 
     # persistent compile cache: the fused-kernel solver program costs
@@ -34,77 +68,222 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    import jax.numpy as jnp
 
-    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+def _throughput(C):
+    """Batched-sweep throughput (the headline metric)."""
     from forces_resilient_planner_tpu.engine import batch as bm
 
-    # multi-level tiered batch solve (solver/ipm_lanes.py::
-    # solve_lanes_multitier): compaction levels chosen from this workload's
-    # iteration histogram (tools/iteration_histogram.py: 12.3% of lanes
-    # need >16 iterations, 2.7% >17, 0.45% >18, max 21) with >=2x lane
-    # headroom per level.  Worth ~1.25x over the single-phase lockstep
-    # while_loop and ~1.05x over the two-phase schedule.
-    C = dataclasses.replace(
-        DEFAULT_CONFIG,
-        solver=dataclasses.replace(
-            DEFAULT_CONFIG.solver, tiers=((16, 0.25), (18, 0.0625))
-        ),
-    )
-
-    dev = jax.devices()[0]
-    halves = np.array([[5.0, 5.0, 2.0]])
-    n_goals, n_forces = 256, 16
-    B = n_goals * n_forces * len(halves)
-
-    def seeds(seed):
-        rng = np.random.default_rng(seed)
-        goals = rng.uniform([-3, -3, 1.0], [3, 3, 1.6], (n_goals, 3))
-        forces = rng.uniform(-1.5, 1.5, (n_forces, 3))
-        return goals, forces
+    B = N_GOALS * N_FORCES * len(HALVES)
 
     # compile (scenario expansion is fused into the solve: only the scenario
     # seeds — a few KB — cross the host-device boundary per call)
-    g0, f0 = seeds(1)
-    r = bm.solve_scenario_grid(C, g0, f0, halves)
+    g0, f0 = bench_seeds(1)
+    r = bm.solve_scenario_grid(C, g0, f0, HALVES)
     _ = np.asarray(r.Z)
 
     # timed: fresh scenario seeds each call (the runtime caches identical
     # executions); host sync via np.asarray each call
     reps = 8
-    sets = [seeds(1000 + s) for s in range(reps)]
-    lat = []
-    solved = 0
-    iters = []
+    sets = [bench_seeds(1000 + s) for s in range(reps)]
+    lat, solved, iters = [], 0, []
     for g, f in sets:
         t0 = time.perf_counter()
-        r = bm.solve_scenario_grid(C, g, f, halves)
+        r = bm.solve_scenario_grid(C, g, f, HALVES)
         ec = np.asarray(r.exit_code)
         lat.append(time.perf_counter() - t0)
         solved += int(ec.sum())
         iters.append(float(np.asarray(r.iters).mean()))
 
     lat = np.asarray(lat)
-    solves_per_s = B / lat.mean()
-    p99_batch = float(np.percentile(lat, 99))
-    baseline_rate = 20.0  # reference: one solve per 50 ms tick
 
+    # streamed (pipelined async dispatch over fresh seed sets): the
+    # production serving pattern — expansion/solve dispatches for set k+1
+    # are issued while set k still runs, hiding host/relay dispatch latency
+    stream_sets = [bench_seeds(3000 + s) for s in range(reps)]
+    t0 = time.perf_counter()
+    results = bm.solve_scenario_stream(C, stream_sets, HALVES)
+    stream_solved = sum(int(np.asarray(r.exit_code).sum()) for r in results)
+    stream_wall = time.perf_counter() - t0
+    return dict(
+        B=B,
+        solves_per_s=B * reps / stream_wall,
+        percall_solves_per_s=B / lat.mean(),
+        stream_solved_frac=stream_solved / (B * reps),
+        mean_ms=lat.mean() * 1e3,
+        min_ms=lat.min() * 1e3,
+        p99_batch_ms=float(np.percentile(lat, 99)) * 1e3,
+        solved_frac=solved / (B * reps),
+        iters_mean=float(np.mean(iters)),
+    )
+
+
+def _single_solve(C):
+    """B=1 solve latency vs the reference's 50 ms budget
+    (nmpc_manage.cpp:46).  Untiered (tier compaction is a batch concept)."""
+    from forces_resilient_planner_tpu.engine import batch as bm
+
+    C1 = dataclasses.replace(
+        C, solver=dataclasses.replace(C.solver, tiers=())
+    )
+    g0, f0 = bench_seeds(1, n_goals=1, n_forces=1)
+    r = bm.solve_scenario_grid(C1, g0, f0, HALVES)
+    _ = np.asarray(r.Z)
+
+    lat, solved = [], 0
+    reps = 50
+    for s in range(reps):
+        g, f = bench_seeds(2000 + s, n_goals=1, n_forces=1)
+        t0 = time.perf_counter()
+        r = bm.solve_scenario_grid(C1, g, f, HALVES)
+        ec = np.asarray(r.exit_code)
+        lat.append(time.perf_counter() - t0)
+        solved += int(ec.sum())
+    lat = np.asarray(lat) * 1e3
+    return dict(
+        p50_ms=float(np.percentile(lat, 50)),
+        p99_ms=float(np.percentile(lat, 99)),
+        solved_frac=solved / reps,
+    )
+
+
+def _pipeline_step():
+    """Full nmpc_step (references -> tubes -> corridors -> tighten -> solve)
+    latency, single and batched — the driver entry configuration
+    (__graft_entry__._small_cfg), compile-warm."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    _ = np.asarray(out[1])
+
+    lat = []
+    for s in range(30):
+        # fresh inputs each call (the relay caches identical executions):
+        # perturb the force + state slightly
+        a = list(args)
+        rng = np.random.default_rng(s)
+        a[4] = args[4] + jnp.asarray(rng.normal(0, 1e-3, 9), args[4].dtype)
+        a[5] = args[5] + jnp.asarray(rng.normal(0, 1e-3, 3), args[5].dtype)
+        t0 = time.perf_counter()
+        out = jfn(*a)
+        _ = np.asarray(out[1])
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat) * 1e3
+
+    # batched pipeline: vmapped nmpc_step over a fleet of perturbed
+    # scenarios — the multi-robot / scenario-sweep shape of the FULL
+    # pipeline (corridor decomposition included), not just the solver
+    Bp = 32
+    vfn = jax.jit(jax.vmap(fn))
+    bargs = [jnp.tile(v[None], (Bp,) + (1,) * v.ndim) for v in args]
+    rng = np.random.default_rng(0)
+    bargs[4] = bargs[4] + jnp.asarray(
+        rng.normal(0, 1e-3, bargs[4].shape), bargs[4].dtype
+    )
+    out = vfn(*bargs)
+    _ = np.asarray(out[1])
+    blat = []
+    for s in range(10):
+        bargs[4] = bargs[4] + jnp.asarray(
+            rng.normal(0, 1e-3, bargs[4].shape), bargs[4].dtype
+        )
+        bargs[5] = bargs[5] + jnp.asarray(
+            rng.normal(0, 1e-3, bargs[5].shape), bargs[5].dtype
+        )
+        t0 = time.perf_counter()
+        out = vfn(*bargs)
+        _ = np.asarray(out[1])
+        blat.append(time.perf_counter() - t0)
+    blat = np.asarray(blat)
+    return dict(
+        p50_ms=float(np.percentile(lat, 50)),
+        p99_ms=float(np.percentile(lat, 99)),
+        batch=Bp,
+        batched_steps_per_s=float(Bp / blat.mean()),
+    )
+
+
+def main():
+    import jax
+
+    setup_cache()
+
+    C = bench_config()
+    dev = jax.devices()[0]
+
+    tp = _throughput(C)
     print(
-        f"[bench] device={dev} batch={B} "
-        f"mean={lat.mean()*1e3:.1f}ms min={lat.min()*1e3:.1f}ms "
-        f"p99={p99_batch*1e3:.1f}ms solved={solved/(B*reps):.4f} "
-        f"iters_mean={np.mean(iters):.1f} "
-        f"per-solve-equiv={lat.mean()/B*1e6:.1f}us",
+        f"[bench] device={dev} batch={tp['B']} "
+        f"mean={tp['mean_ms']:.1f}ms min={tp['min_ms']:.1f}ms "
+        f"p99={tp['p99_batch_ms']:.1f}ms solved={tp['solved_frac']:.4f} "
+        f"iters_mean={tp['iters_mean']:.1f} "
+        f"per-solve-equiv={tp['mean_ms']*1e3/tp['B']:.1f}us",
+        file=sys.stderr,
+    )
+    print(
+        f"[bench] streamed (pipelined dispatch): "
+        f"{tp['solves_per_s']:.0f} solves/s "
+        f"(per-call loop: {tp['percall_solves_per_s']:.0f}) "
+        f"solved={tp['stream_solved_frac']:.4f}",
         file=sys.stderr,
     )
 
+    extras = {"percall_solves_per_s": round(tp["percall_solves_per_s"], 1)}
+    try:
+        ss = _single_solve(C)
+        extras["single_solve_p50_ms"] = round(ss["p50_ms"], 2)
+        extras["single_solve_p99_ms"] = round(ss["p99_ms"], 2)
+        print(
+            f"[bench] single-solve (B=1): p50={ss['p50_ms']:.1f}ms "
+            f"p99={ss['p99_ms']:.1f}ms solved={ss['solved_frac']:.2f} "
+            f"(budget: 50ms, nmpc_manage.cpp:46)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - keep the headline robust
+        print(f"[bench] single-solve section failed: {e!r}", file=sys.stderr)
+
+    try:
+        ps = _pipeline_step()
+        extras["pipeline_step_p50_ms"] = round(ps["p50_ms"], 2)
+        extras["pipeline_step_p99_ms"] = round(ps["p99_ms"], 2)
+        extras["pipeline_batched_steps_per_s"] = round(
+            ps["batched_steps_per_s"], 1
+        )
+        print(
+            f"[bench] full nmpc_step (B=1, entry config): "
+            f"p50={ps['p50_ms']:.1f}ms p99={ps['p99_ms']:.1f}ms; "
+            f"batched (B={ps['batch']}): "
+            f"{ps['batched_steps_per_s']:.0f} steps/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] pipeline section failed: {e!r}", file=sys.stderr)
+
+    parity_file = Path(__file__).resolve().parent / "PARITY_TPU.json"
+    if parity_file.exists():
+        p = json.loads(parity_file.read_text())
+        extras["parity_max_u_diff"] = p.get("max_u_diff")
+        extras["parity_lanes"] = p.get("n_lanes")
+        print(
+            f"[bench] on-chip parity certificate: max|u| diff "
+            f"{p.get('max_u_diff')} over {p.get('n_lanes')} lanes "
+            f"(tools/tpu_parity_check.py, same config/seeds)",
+            file=sys.stderr,
+        )
+
+    baseline_rate = 20.0  # reference: one solve per 50 ms tick
     print(
         json.dumps(
             {
                 "metric": "nmpc_solves_per_s_per_chip_N20_batch4096",
-                "value": round(float(solves_per_s), 1),
+                "value": round(float(tp["solves_per_s"]), 1),
                 "unit": "solves/s",
-                "vs_baseline": round(float(solves_per_s / baseline_rate), 1),
+                "vs_baseline": round(float(tp["solves_per_s"] / baseline_rate), 1),
+                "extras": extras,
             }
         )
     )

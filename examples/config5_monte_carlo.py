@@ -1,7 +1,9 @@
 """BASELINE config 5: Monte-Carlo resilience sweep over a device mesh with
 collective statistics and chunk checkpointing.
 
-On a real pod slice run under jax.distributed; on a dev box exercise with:
+On a real pod slice run under jax.distributed (one process per host; the
+actual multi-process initialization + sharded execution path is exercised
+by tests/test_multiprocess.py via tests/_mp_sweep_worker.py); on a dev box:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python examples/config5_monte_carlo.py --chunks 4
 """

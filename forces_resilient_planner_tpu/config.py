@@ -106,9 +106,13 @@ class SolverConfig:
     # Measured on TPU v5e B=4096: 37.2k solves/s monotone vs 22-25k PC.
     predictor_corrector: bool = False
     sigma_min: float = 0.0            # centering floor for the PC path
-    mu_gate: bool = True              # gate barrier shrink on err<=10*mu
+    mu_gate: bool = True              # gate barrier shrink on err<=gate*mu
     #                                   (ungated geometric schedules lose
     #                                   ~1.5% solved fraction and are slower)
+    mu_gate_factor: float = 10.0      # gate threshold multiplier
+    mu_superlin: float = 1.5          # superlinear tail exponent: the
+    #                                   barrier update is
+    #                                   max(tol/20, min(kappa*mu, mu**superlin))
     # Tiered batch solve (solver/ipm_lanes.py::solve_lanes_tiered): run the
     # full batch for tier_phase1 iterations, then compact the unconverged
     # minority into a tier_frac-sized sub-batch for the tail iterations.
@@ -120,6 +124,12 @@ class SolverConfig:
     # the still-unconverged lanes into a smaller sub-batch
     # (solver/ipm_lanes.py::solve_lanes_multitier).
     tiers: Tuple[Tuple[int, float], ...] = ()
+    # One-shot sweep warm start: "hover" = hover seed (initMPCOutput,
+    # nmpc_solver.cpp:265-286); "lqr" = closed-loop LQR rollout toward the
+    # reference with the fixed gain K (problems.lqr_warm_start_batch — the
+    # sweep analog of FORCES' previous-solution warm start,
+    # forces_normal.cpp:74-97).
+    warm_start: str = "hover"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,6 +16,7 @@ import numpy as np
 
 from forces_resilient_planner_tpu.config import PlannerConfig
 from forces_resilient_planner_tpu.solver import ipm, ipm_lanes, nlp
+from forces_resilient_planner_tpu.solver import problems
 from forces_resilient_planner_tpu.solver.problems import (
     box_corridor,
     hover_warm_start,
@@ -141,9 +142,15 @@ def _expand_scenarios_device(
     weights_b = jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), weights
     )
-    Z0 = jnp.broadcast_to(
-        hover_warm_start(x0, mcfg)[None], (B, N, nlp.NZ)
-    )
+    if cfg.solver.warm_start == "lqr":
+        Z0 = problems.lqr_warm_start_batch(
+            jnp.broadcast_to(x0[None], (B, 9)), ref_pos, ref_yaw, f,
+            mcfg, jnp.asarray(cfg.K_matrix(), dtype),
+        )
+    else:
+        Z0 = jnp.broadcast_to(
+            hover_warm_start(x0, mcfg)[None], (B, N, nlp.NZ)
+        )
     params = nlp.NLPParams(
         xinit=jnp.broadcast_to(x0[None], (B, 9)),
         ref_pos=ref_pos, ref_yaw=ref_yaw, f_ext=f,
@@ -204,6 +211,49 @@ def solve_scenario_grid(
         jnp.asarray(forces, dtype), jnp.asarray(corridor_halves, dtype),
     )
     return solve(scen.Z0, scen.params)
+
+
+def solve_scenario_stream(
+    cfg: PlannerConfig,
+    seed_sets,                  # iterable of (goals, forces) numpy pairs
+    corridor_halves: np.ndarray,
+    x0: np.ndarray | None = None,
+    dtype=jnp.float32,
+):
+    """Pipelined sweep over a stream of scenario seed sets.
+
+    JAX dispatch is asynchronous: by dispatching scenario-set k+1's
+    expansion (and k+1's solve) before synchronizing on set k's result,
+    the host-side dispatch/relay latency of the two-executable sweep
+    (see solve_scenario_grid) is hidden behind device compute — the
+    double-buffered host-to-device parameter staging of SURVEY.md §2.4.
+    Returns the list of SolveResults (device arrays, already complete or
+    in flight; sync with np.asarray as usual).
+    """
+    mcfg = cfg.model
+    if x0 is None:
+        x0 = np.zeros(9)
+        x0[2] = 1.2
+    seed_sets = list(seed_sets)
+    if not seed_sets:
+        return []
+    g0 = seed_sets[0][0]
+    key = (cfg, g0.shape, seed_sets[0][1].shape, corridor_halves.shape,
+           str(dtype))
+    if key not in _jitted_sweeps:
+        # populate the (expand, solve) executable pair
+        solve_scenario_grid(
+            cfg, g0, seed_sets[0][1], corridor_halves, x0=x0, dtype=dtype
+        )
+    expand, solve = _jitted_sweeps[key]
+
+    x0j = jnp.asarray(x0, dtype)
+    hj = jnp.asarray(corridor_halves, dtype)
+    results = []
+    for g, f in seed_sets:
+        scen = expand(x0j, jnp.asarray(g, dtype), jnp.asarray(f, dtype), hj)
+        results.append(solve(scen.Z0, scen.params))
+    return results
 
 
 _jitted_solvers: dict = {}

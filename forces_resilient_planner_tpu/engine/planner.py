@@ -33,6 +33,7 @@ from forces_resilient_planner_tpu.engine.commander import CmdStatus, Command
 from forces_resilient_planner_tpu.engine.pipeline import nmpc_step
 from forces_resilient_planner_tpu.mapping import occ_grid as og
 from forces_resilient_planner_tpu.search import kinodynamic as kd
+from forces_resilient_planner_tpu.utils.timing import Timers
 
 
 class FSMState(enum.Enum):
@@ -53,6 +54,13 @@ class PlannerDiagnostics:
     last_iters: int = 0
     last_kkt: float = float("nan")
     fsm_transitions: list = field(default_factory=list)
+    # per-phase wall-clock (search / solve / safety / mapping / command):
+    # the reference prints one blue wall-clock line per solve
+    # (nmpc_solver.cpp:431-433); here timing is a queryable subsystem
+    timers: Timers = field(default_factory=Timers)
+
+    def timing_report(self) -> dict:
+        return self.timers.report()
 
 
 class ResilientPlanner:
@@ -128,6 +136,30 @@ class ResilientPlanner:
                 grid, pos, r, cfg.tube.ego_r, cfg.tube.ego_h, cfg.map
             ),
             static_argnames=("r",),
+        )
+        # batched surround check: the safety tick evaluates all relocation
+        # candidates / all trajectory samples in ONE device dispatch instead
+        # of up to ~312 sequential calls inside the 20 Hz tick
+        self._jit_surround_batch = jax.jit(
+            lambda grid, pts, r: jax.vmap(
+                lambda p: og.check_pos_surround(
+                    grid, p, r, cfg.tube.ego_r, cfg.tube.ego_h, cfg.map
+                )
+            )(pts),
+            static_argnames=("r",),
+        )
+        # goal-relocation candidate offsets, EXACTLY the reference's scan
+        # order (nmpc_manage.cpp:285-327: radius out, angle around, z up;
+        # first free candidate wins) — z is absolute, xy relative to goal
+        offs = [
+            (r * math.cos(th), r * math.sin(th), nz)
+            for r in np.arange(0.2, 1.2001, 0.2)
+            for th in np.deg2rad(np.arange(-90, 271, 30))
+            for nz in np.arange(1.0, 1.6001, 0.2)
+        ]
+        self._reloc_offsets = np.asarray(offs)
+        self._traj_check_idx = np.arange(
+            0, kd.MAX_SAMPLES, cfg.fsm.traj_check_stride
         )
         self._jit_raycast = jax.jit(
             lambda grid, pts, valid, cam: og.raycast_update(
@@ -244,14 +276,15 @@ class ResilientPlanner:
     def on_depth(self, depth: np.ndarray, R_wc: np.ndarray, t_wc: np.ndarray,
                  fx: float, fy: float, cx: float, cy: float):
         """Depth-image mapping path (depthOdomCallback analog)."""
-        pts, valid = og.project_depth(
-            jnp.asarray(depth, self.dtype), jnp.asarray(R_wc, self.dtype),
-            jnp.asarray(t_wc, self.dtype), self.cfg.map, fx, fy, cx, cy,
-        )
-        self.grid = self._jit_raycast(
-            self.grid, pts, valid, jnp.asarray(t_wc, self.dtype)
-        )
-        self.refresh_cloud()
+        with self.diag.timers.phase("mapping"):
+            pts, valid = og.project_depth(
+                jnp.asarray(depth, self.dtype), jnp.asarray(R_wc, self.dtype),
+                jnp.asarray(t_wc, self.dtype), self.cfg.map, fx, fy, cx, cy,
+            )
+            self.grid = self._jit_raycast(
+                self.grid, pts, valid, jnp.asarray(t_wc, self.dtype)
+            )
+            self.refresh_cloud()
 
     def refresh_cloud(self):
         pts, mask = self._jit_cloud(self.grid)
@@ -265,6 +298,15 @@ class ResilientPlanner:
             self.grid, buf, jnp.ones(len(points), bool), self.cfg.map
         )
         self.refresh_cloud()
+
+    def profile_trace(self, log_dir: str):
+        """jax.profiler trace context over any stretch of planner activity:
+
+            with planner.profile_trace("/tmp/frp_trace"):
+                planner.tick_fsm(t); planner.tick_mpc(t); ...
+
+        View with TensorBoard / xprof (SURVEY.md section 5, tracing)."""
+        return jax.profiler.trace(log_dir)
 
     # ------------------------------------------------------------ internals
     def _change_state(self, new: FSMState, who: str):
@@ -311,16 +353,19 @@ class ResilientPlanner:
                 init,
             )
 
-        res = run(True)
-        if int(res.status) == kd.NO_PATH:
-            # retry with discontinuous initial state (lines 196-209)
-            start_p, start_v, start_a = self.odom[0:3], self.odom[3:6], np.zeros(3)
-            res = run(False)
+        with self.diag.timers.phase("search"):
+            res = run(True)
             if int(res.status) == kd.NO_PATH:
-                return False
-        path, size = self._jit_traj(
-            res, jnp.asarray(self.external_acc, self.dtype), cfg.model.dt
-        )
+                # retry with discontinuous initial state (lines 196-209)
+                start_p, start_v, start_a = (
+                    self.odom[0:3], self.odom[3:6], np.zeros(3)
+                )
+                res = run(False)
+                if int(res.status) == kd.NO_PATH:
+                    return False
+            path, size = self._jit_traj(
+                res, jnp.asarray(self.external_acc, self.dtype), cfg.model.dt
+            )
         self.kino_path = np.asarray(path, float)
         self.kino_size = int(size)
         self.use_final = False
@@ -342,20 +387,21 @@ class ResilientPlanner:
         t_offset = t_now - self.kino_start_time
 
         accept_maxit = self.replan_count > 3
-        res = self._jit_step(
-            jnp.asarray(self.mpc_output, self.dtype),
-            jnp.asarray(self.kino_path, self.dtype),
-            jnp.asarray(self.kino_size),
-            jnp.asarray(t_offset, self.dtype),
-            jnp.asarray(self.odom, self.dtype),
-            jnp.asarray(self.external_acc, self.dtype),
-            jnp.asarray(self.end_pt, self.dtype),
-            jnp.asarray(self.obstacles, self.dtype),
-            jnp.asarray(self.obstacle_mask),
-            jnp.asarray(self.use_final),
-            jnp.asarray(accept_maxit),
-        )
-        exit_code = int(res.exit_code)
+        with self.diag.timers.phase("solve"):
+            res = self._jit_step(
+                jnp.asarray(self.mpc_output, self.dtype),
+                jnp.asarray(self.kino_path, self.dtype),
+                jnp.asarray(self.kino_size),
+                jnp.asarray(t_offset, self.dtype),
+                jnp.asarray(self.odom, self.dtype),
+                jnp.asarray(self.external_acc, self.dtype),
+                jnp.asarray(self.end_pt, self.dtype),
+                jnp.asarray(self.obstacles, self.dtype),
+                jnp.asarray(self.obstacle_mask),
+                jnp.asarray(self.use_final),
+                jnp.asarray(accept_maxit),
+            )
+            exit_code = int(res.exit_code)
         self.diag.solves += 1
         self.diag.last_exit_code = exit_code
         self.diag.last_iters = int(res.iters)
@@ -461,61 +507,60 @@ class ResilientPlanner:
                 self._change_state(FSMState.REPLAN_TRAJ, "fsm")
 
     def tick_safety(self, t_now: float):
-        """20 Hz checkReplanCallback (nmpc_manage.cpp:285-341)."""
+        """20 Hz checkReplanCallback (nmpc_manage.cpp:285-341).
+
+        Device work is batched: the goal-relocation scan (up to 312
+        candidates) and the trajectory recheck (every 5th sample) are each
+        ONE jitted dispatch; the first-free-candidate selection reproduces
+        the reference's nested-loop order exactly.
+        """
         cfg = self.cfg
-        if self.have_target:
-            goal_free = bool(
-                self._jit_surround(
-                    self.grid, jnp.asarray(self.end_pt, self.dtype),
-                    cfg.fsm.goal_inflate,
-                )
-            )
-            if not goal_free:
-                relocated = False
-                for r in np.arange(0.2, 1.2001, 0.2):
-                    for th in np.deg2rad(np.arange(-90, 271, 30)):
-                        for nz in np.arange(1.0, 1.6001, 0.2):
-                            cand = np.array(
-                                [
-                                    self.end_pt[0] + r * math.cos(th),
-                                    self.end_pt[1] + r * math.sin(th),
-                                    nz,
-                                ]
-                            )
-                            if bool(
-                                self._jit_surround(
-                                    self.grid, jnp.asarray(cand, self.dtype),
-                                    cfg.fsm.goal_relocate_inflate,
-                                )
-                            ):
-                                self.end_pt = cand
-                                relocated = True
-                                break
-                        if relocated:
-                            break
-                    if relocated:
-                        break
-                if self.state == FSMState.EXEC_TRAJ:
-                    self._change_state(FSMState.REPLAN_TRAJ, "safety-goal")
-                elif not relocated:
-                    self.have_target = False
-                    self._change_state(FSMState.WAIT_TARGET, "safety-goal")
-        if self.have_traj and self.kino_size > 0:
-            for i in range(0, self.kino_size, cfg.fsm.traj_check_stride):
-                if not bool(
+        with self.diag.timers.phase("safety"):
+            if self.have_target:
+                goal_free = bool(
                     self._jit_surround(
-                        self.grid, jnp.asarray(self.kino_path[i], self.dtype),
+                        self.grid, jnp.asarray(self.end_pt, self.dtype),
                         cfg.fsm.goal_inflate,
                     )
-                ):
+                )
+                if not goal_free:
+                    cand = self._reloc_offsets.copy()
+                    cand[:, 0] += self.end_pt[0]
+                    cand[:, 1] += self.end_pt[1]
+                    free = np.asarray(
+                        self._jit_surround_batch(
+                            self.grid, jnp.asarray(cand, self.dtype),
+                            cfg.fsm.goal_relocate_inflate,
+                        )
+                    )
+                    relocated = bool(free.any())
+                    if relocated:
+                        self.end_pt = cand[int(np.argmax(free))]
+                    if self.state == FSMState.EXEC_TRAJ:
+                        self._change_state(FSMState.REPLAN_TRAJ, "safety-goal")
+                    elif not relocated:
+                        self.have_target = False
+                        self._change_state(FSMState.WAIT_TARGET, "safety-goal")
+            if self.have_traj and self.kino_size > 0:
+                free = np.asarray(
+                    self._jit_surround_batch(
+                        self.grid,
+                        jnp.asarray(
+                            self.kino_path[self._traj_check_idx], self.dtype
+                        ),
+                        cfg.fsm.goal_inflate,
+                    )
+                )
+                valid = self._traj_check_idx < self.kino_size
+                if bool(np.any(valid & ~free)):
                     self._change_state(FSMState.REPLAN_TRAJ, "safety-traj")
-                    break
 
     def get_command(self, t_now: float) -> Command | None:
         """100 Hz command output (cmdTrajCallback, nmpc_solver.cpp:865-987)."""
         cs = self.cmd_status
         if cs in (CmdStatus.INIT_POSITION, CmdStatus.WAIT):
             return None
+        self.diag.timers.count("commands")
         if cs == CmdStatus.ROTATE_YAW:
             return commander.rotate_yaw_command(
                 self._rotate_odom_ref, self.init_yaw, self.init_yaw_dot,

@@ -54,13 +54,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_scenarios(scen: batch_mod.ScenarioSet, mesh: Mesh) -> batch_mod.ScenarioSet:
-    sh = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda a: jax.device_put(
-            a, NamedSharding(mesh, P(mesh.axis_names, *([None] * (a.ndim - 1))))
-        ),
-        scen,
-    )
+    """Shard the scenario batch across the mesh.
+
+    Uses make_array_from_callback so it works on MULTI-PROCESS meshes
+    (each process materializes only its addressable shards from the
+    host-side scenario data, which is identical on every process by
+    construction — deterministic seeds); on a single-process mesh this is
+    equivalent to device_put with the same NamedSharding.
+    """
+
+    def put(a):
+        a_np = np.asarray(a)
+        sh = NamedSharding(
+            mesh, P(mesh.axis_names, *([None] * (a_np.ndim - 1)))
+        )
+        return jax.make_array_from_callback(
+            a_np.shape, sh, lambda idx: a_np[idx]
+        )
+
+    return jax.tree.map(put, scen)
 
 
 def make_sharded_solver(cfg: PlannerConfig, mesh: Mesh):

@@ -271,13 +271,14 @@ def solve(
             # ---- monotone Fiacco-McCormick barrier schedule ----------------
             if scfg.mu_gate:
                 err_mu = jnp.max(jnp.stack([stat, eq, ineq, comp]))
-                shrink = err_mu <= 10.0 * mu
+                shrink = err_mu <= scfg.mu_gate_factor * mu
             else:
                 shrink = jnp.asarray(True)   # ungated geometric schedule
             mu = jnp.where(
                 shrink & ~done,
                 jnp.maximum(
-                    tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)
+                    tol / 20.0,
+                    jnp.minimum(scfg.kappa_mu * mu, mu ** scfg.mu_superlin),
                 ),
                 mu,
             )

@@ -393,13 +393,14 @@ def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
                 err_mu = jnp.maximum(
                     jnp.maximum(stat, eq), jnp.maximum(ineq, comp)
                 )
-                shrink = err_mu <= 10.0 * mu
+                shrink = err_mu <= scfg.mu_gate_factor * mu
             else:
                 shrink = jnp.ones_like(lane_done)
             mu_n = jnp.where(
                 shrink & ~lane_done,
                 jnp.maximum(
-                    tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu ** 1.5)
+                    tol / 20.0,
+                    jnp.minimum(scfg.kappa_mu * mu, mu ** scfg.mu_superlin),
                 ),
                 mu,
             )
@@ -528,10 +529,13 @@ def solve_lanes_tiered(
     argsort on the done mask, unconverged first) into a tail_lanes-wide
     sub-batch that resumes from its exact mid-solve state, so per-lane
     results are bit-identical to the single-phase solver whenever the
-    unconverged count fits in tail_lanes.  If it overflows (choose
-    tail_lanes from the workload's iteration histogram so this is rare),
-    the overflowed lanes keep their phase-1 state and report exit code 0,
-    exactly as if max_iters had been phase1_iters for them.
+    unconverged count fits in tail_lanes.  If it overflows (a harder
+    scenario distribution than the tail schedule was sized for), the
+    overflowed lanes keep their mid-solve state and the full-batch
+    safety-net phase below finishes them — results stay bit-identical to
+    the single-phase solver at graceful (full-batch-rate) cost; when
+    nothing overflows the net's while_loop condition is false on entry
+    and it costs one predicate evaluation.
     """
     st = _run_lanes(
         _init_state(Z0, params, mcfg, scfg), params, mcfg, scfg, phase1_iters
@@ -545,6 +549,7 @@ def solve_lanes_tiered(
     merged = tuple(
         _put_lanes(a, idx, b) for a, b in zip(st, sub_st)
     )
+    merged = _run_lanes(merged, params, mcfg, scfg, scfg.max_iters)
     return _state_to_result(merged)
 
 
@@ -563,8 +568,11 @@ def solve_lanes_multitier(
     compacted again into schedule[1][1] lanes, and so on; the last level
     runs to scfg.max_iters.  The convergence histogram's thin tail (a few
     percent of lanes past ~phase1+2 iterations) then costs a few percent
-    of a full-batch iteration instead of 25%.  Same bit-exactness /
-    overflow semantics as solve_lanes_tiered, level by level.
+    of a full-batch iteration instead of 25%.  Same bit-exactness
+    semantics as solve_lanes_tiered, level by level; lanes that overflow
+    a level's tail capacity are finished by the final full-batch
+    safety-net phase (free when nothing overflows — its while_loop
+    condition is false on entry).
     """
     assert len(schedule) > 0, "multitier schedule must be non-empty"
     # clamp each level's cap so a schedule entry can never run lanes past
@@ -592,7 +600,9 @@ def solve_lanes_multitier(
             sub_st = level(sub_st, sub_params, i + 1)
         return tuple(_put_lanes(a, idx, b) for a, b in zip(st, sub_st))
 
-    return _state_to_result(level(st, params, 0))
+    merged = level(st, params, 0)
+    merged = _run_lanes(merged, params, mcfg, scfg, scfg.max_iters)
+    return _state_to_result(merged)
 
 
 def _round_lanes(B: int, frac: float) -> int:

@@ -85,8 +85,8 @@ def test_predictor_corrector_parity_and_convergence():
 def test_tiered_solver_bit_identical_when_tail_covers():
     """Tiered compaction must reproduce the single-phase solver exactly
     (same exit codes, iteration counts, iterates) when the tail sub-batch
-    covers every unconverged lane; on overflow it degrades gracefully to
-    exit code 0 with finite state."""
+    covers every unconverged lane; on overflow the full-batch safety-net
+    phase finishes the leftover lanes, so results are STILL bit-exact."""
     import dataclasses
 
     sc = _scenarios()
@@ -102,14 +102,24 @@ def test_tiered_solver_bit_identical_when_tail_covers():
         np.asarray(got.Z), np.asarray(ref.Z), rtol=0, atol=0
     )
 
-    # overflow: tail too small for the unconverged count
+    # overflow: tail far too small for the unconverged count — the safety
+    # net must restore exact single-phase results (this is the guard
+    # against tier schedules tuned on one workload silently dropping
+    # lanes on a harder scenario distribution)
+    assert (np.asarray(ref.iters) > 6).sum() > 4  # genuinely overflows
     got2 = ipm_lanes.solve_lanes_tiered(
         jnp.moveaxis(sc.Z0, 0, -1), ipm_lanes.lanes_params(sc.params),
         C.model, C.solver, 6, 4,
     )
-    ec = np.asarray(got2.exit_code)
-    assert np.isfinite(np.asarray(got2.Z)).all()
-    assert (ec[np.asarray(got2.iters) >= 6] != 1).any() or (ec == 1).all()
+    np.testing.assert_array_equal(
+        np.asarray(got2.exit_code), np.asarray(ref.exit_code)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got2.iters), np.asarray(ref.iters)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2.Z), np.asarray(ref.Z), rtol=0, atol=0
+    )
 
 
 def test_multitier_solver_bit_identical_when_tails_cover():

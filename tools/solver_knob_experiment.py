@@ -1,9 +1,9 @@
 """Solver-knob experiment runner (real chip).
 
-Usage: python tools/solver_knob_experiment.py '{"mu_init": 0.1}' [tag]
+Usage: python tools/solver_knob_experiment.py '{"mu_init": 0.1}' [tag] [n_goals] [reps]
 Applies the JSON dict as dataclasses.replace overrides on DEFAULT_CONFIG.solver
-("tiers" lists become tuples), runs the 4096-scenario grid, prints timing +
-iteration histogram.
+("tiers" lists become tuples), runs the (n_goals x 16)-scenario grid
+(default 256 x 16 = 4096), prints timing + iteration histogram.
 """
 import dataclasses
 import json
@@ -40,7 +40,8 @@ def main():
     )
 
     halves = np.array([[5.0, 5.0, 2.0]])
-    n_goals, n_forces = 256, 16
+    n_goals = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    n_forces = 16
     B = n_goals * n_forces
 
     def seeds(seed):
@@ -56,7 +57,7 @@ def main():
     print(f"[{tag}] compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 
     lat, its, solved = [], [], 0
-    reps = 6
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 6
     for s in range(reps):
         g, f = seeds(1000 + s)
         t0 = time.perf_counter()
