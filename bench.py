@@ -176,7 +176,9 @@ def _pipeline_step():
 
     # batched pipeline: vmapped nmpc_step over a fleet of perturbed
     # scenarios — the multi-robot / scenario-sweep shape of the FULL
-    # pipeline (corridor decomposition included), not just the solver
+    # pipeline (corridor decomposition included), not just the solver.
+    # (The tube step uses the Van Loan Gramian, tube/lyapunov.py — the
+    # 81x81 Kronecker LU it replaced overflowed scoped VMEM past Bp~8.)
     Bp = 32
     vfn = jax.jit(jax.vmap(fn))
     bargs = [jnp.tile(v[None], (Bp,) + (1,) * v.ndim) for v in args]

@@ -52,12 +52,46 @@ def lyapunov_solve(Phi: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
 
     (I (x) Phi + Phi (x) I) vec(X) = vec(W) with column-major vec; using
     row-major flatten the operator becomes kron(Phi, I) + kron(I, Phi).
+
+    General-W reference implementation (kept as the oracle for tests).
+    The production tube path uses lyapunov_gramian below: at batch scale
+    the 81x81 LU's block-inversion custom call must hold its whole
+    (B, N, 81, 81) operand in scoped VMEM, which overflows the 16 MB v5e
+    limit past ~8 vmapped pipelines.
     """
     n = Phi.shape[-1]
     I = jnp.eye(n, dtype=Phi.dtype)
     Kmat = jnp.kron(Phi, I) + jnp.kron(I, Phi)
     x = jnp.linalg.solve(Kmat, W.reshape(-1))
     return x.reshape(n, n)
+
+
+def lyapunov_gramian(Phi: jnp.ndarray, C: jnp.ndarray, t: float) -> jnp.ndarray:
+    """X = int_0^t e^{-Phi s} C e^{-Phi^T s} ds — the UNIQUE solution of
+    Phi X + X Phi^T = C - e^{-Phi t} C e^{-Phi^T t} (differentiate the
+    integral), i.e. exactly the getDistrEllipsoid Lyapunov problem
+    (nmpc_solver.cpp:567-611) without forming the right-hand side.
+
+    Computed with Van Loan's block-exponential identity:
+      expm([[ -Phi, C ], [ 0, Phi^T ]] t) = [[ ., F12 ], [ 0, F22 ]]
+      F12 = X e^{Phi^T t},  F22 = e^{Phi^T t}  =>  X = F12 F22^{-1}.
+    One 18x18 expm + one 9x9 solve per (stage, channel): VMEM-trivial,
+    fully batchable, and PSD by construction (the Kronecker route can
+    return small asymmetries at f32).
+    """
+    n = Phi.shape[-1]
+    Z = jnp.zeros_like(Phi)
+    H = jnp.concatenate(
+        [
+            jnp.concatenate([-Phi, C], axis=-1),
+            jnp.concatenate([Z, Phi.T], axis=-1),
+        ],
+        axis=-2,
+    )
+    F = jax.scipy.linalg.expm(H * t)
+    F12, F22 = F[:n, n:], F[n:, n:]
+    # X = F12 @ inv(F22): solve F22^T X^T = F12^T (9x9)
+    return jnp.linalg.solve(F22.T, F12.T).T
 
 
 def minkowski_sum(Q1: jnp.ndarray, Q2: jnp.ndarray) -> jnp.ndarray:
@@ -97,13 +131,14 @@ def channel_Qd(
     (Dt_, nmpc_solver.cpp:24-26).
     """
     dtype = dtype or Phi.dtype
-    expm_neg = jax.scipy.linalg.expm(-Phi * t)
 
     def one_channel(i):
         d = jnp.zeros((NX,), dtype).at[3 + i].set(1.0)
         Nt = t * w_bound[i] ** 2 * jnp.outer(d, d)
-        W = Nt - _mm(_mm(expm_neg, Nt), expm_neg.T)
-        X = lyapunov_solve(Phi, W)
+        # Gramian form: solves Phi X + X Phi^T = Nt - e^{-Phi t} Nt e^{-Phi^T t}
+        # without materializing the 81x81 Kronecker operator (see
+        # lyapunov_gramian; identical X, batch-scalable on TPU)
+        X = lyapunov_gramian(Phi, Nt, t)
         trX = jnp.sqrt(jnp.clip(jnp.trace(X), 1e-30, None))
         return trX, X / trX
 

@@ -117,14 +117,20 @@ def oracle_stage(dump: Path):
         )
     wall = time.perf_counter() - t0
     diffs = np.asarray(diffs)
+    # SLSQP status 8 ("positive directional derivative") is a stall at the
+    # optimum, typical near an active set at ftol=1e-14; such lanes carry
+    # diffs indistinguishable from status-0 lanes, so the certificate
+    # covers ALL lanes and additionally reports the strictly-converged max
     ok_oracle = np.asarray(statuses) == 0
     result = {
         "n_lanes": int(len(sel)),
         "n_oracle_converged": int(ok_oracle.sum()),
-        "max_u_diff": float(diffs[ok_oracle].max()),
-        "p99_u_diff": float(np.percentile(diffs[ok_oracle], 99)),
+        "max_u_diff": float(diffs.max()),
+        "max_u_diff_strict_lanes": float(diffs[ok_oracle].max())
+        if ok_oracle.any() else None,
+        "p99_u_diff": float(np.percentile(diffs, 99)),
         "tol": TOL,
-        "pass": bool(diffs[ok_oracle].max() <= TOL),
+        "pass": bool(diffs.max() <= TOL),
         "seed": int(data["seed"]),
         "batch": int(data["B"]),
         "config": "bench.bench_config() [f32+Pallas+tiers((16,1/4),(18,1/16)) on TPU]",
