@@ -52,7 +52,9 @@ def run_fixed(iters: int):
         r = bm.solve_scenario_grid(C, g, f, bench.HALVES)
         it = np.asarray(r.iters)
         lat.append(time.perf_counter() - t0)
-        assert it.min() == iters, it.min()  # nothing converged early
+        # lockstep cost is set by the while_loop trip count = the max lane;
+        # isolated NaN dropouts (barrier at the 1e-12-tol floor) are fine
+        assert it.max() == iters, it.max()
     m = float(np.mean(lat))
     print(f"[{iters} iters] mean={m*1e3:.1f}ms", flush=True)
     return m

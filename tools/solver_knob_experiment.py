@@ -73,6 +73,18 @@ def main():
           f"solves/s={B/lat.mean():.0f} solved={solved/(B*reps):.4f} "
           f"iters mean={it.mean():.2f} max={it.max()}", flush=True)
     print(f"[{tag}] hist={hist}", flush=True)
+
+    # streamed throughput (pipelined dispatch, the bench headline mode)
+    sets = [seeds(4000 + s) for s in range(reps)]
+    t0 = time.perf_counter()
+    rs = bm.solve_scenario_stream(C, sets, halves)
+    s_solved = sum(int(np.asarray(r.exit_code).sum()) for r in rs)
+    wall = time.perf_counter() - t0
+    print(
+        f"[{tag}] streamed: {B*reps/wall:.0f} solves/s "
+        f"solved={s_solved/(B*reps):.4f}",
+        flush=True,
+    )
     n = it.size
     cum = 0
     tail = {}
