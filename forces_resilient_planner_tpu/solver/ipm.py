@@ -274,11 +274,17 @@ def solve(
                 shrink = err_mu <= scfg.mu_gate_factor * mu
             else:
                 shrink = jnp.asarray(True)   # ungated geometric schedule
+            # 1.5 exponent as mu*sqrt(mu): keeps this bitwise identical to
+            # the fused Pallas iteration kernel (ops/ipm_pallas.py), where
+            # general pow lowers through exp/log
+            mu_pow = (
+                mu * jnp.sqrt(mu) if scfg.mu_superlin == 1.5
+                else mu ** scfg.mu_superlin
+            )
             mu = jnp.where(
                 shrink & ~done,
                 jnp.maximum(
-                    tol / 20.0,
-                    jnp.minimum(scfg.kappa_mu * mu, mu ** scfg.mu_superlin),
+                    tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu_pow)
                 ),
                 mu,
             )

@@ -236,6 +236,22 @@ def _state_to_result(st) -> SolveResult:
     )
 
 
+def _dyn_pieces(Z, f_ext_bl, mcfg: ModelConfig):
+    """Equality residuals + RK2 Jacobians for a lane-major Z (N, 17, B),
+    via the batch-leading dynamics module; only the small (9,9)/(9,4)
+    tensors are transposed per iteration.  f_ext_bl: (B, 3)."""
+    x_bl = jnp.moveaxis(Z[:-1, 8:17], 1, -1)             # (N-1, B, 9)
+    u_bl = jnp.moveaxis(Z[:-1, 0:4], 1, -1)
+    xn = rk2_step(x_bl, u_bl, f_ext_bl[None], mcfg)      # (N-1, B, 9)
+    F = jnp.concatenate([jnp.moveaxis(xn, -1, 1), Z[:-1, 0:4]], axis=1)
+    Enext = jnp.concatenate([Z[1:, 8:17], Z[1:, 4:8]], axis=1)
+    c = F - Enext                                        # (N-1, 13, B)
+    Ax, Bx = rk2_jacobians_analytic(x_bl, u_bl, f_ext_bl[None], mcfg)
+    Ax = jnp.moveaxis(Ax, 1, -1)                         # (N-1, 9, 9, B)
+    Bx = jnp.moveaxis(Bx, 1, -1)
+    return c, Ax, Bx
+
+
 def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
                max_iters: int):
     """Run the lane-major IPM while_loop from an arbitrary state (resumable:
@@ -256,18 +272,7 @@ def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
     f_ext_bl = params.f_ext.T                                # (B, 3)
 
     def dyn_pieces(Z):
-        """Residuals + Jacobians via the batch-leading dynamics module;
-        only the small (9,9)/(9,4) tensors are transposed per iteration."""
-        x_bl = jnp.moveaxis(Z[:-1, 8:17], 1, -1)             # (N-1, B, 9)
-        u_bl = jnp.moveaxis(Z[:-1, 0:4], 1, -1)
-        xn = rk2_step(x_bl, u_bl, f_ext_bl[None], mcfg)      # (N-1, B, 9)
-        F = jnp.concatenate([jnp.moveaxis(xn, -1, 1), Z[:-1, 0:4]], axis=1)
-        Enext = jnp.concatenate([Z[1:, 8:17], Z[1:, 4:8]], axis=1)
-        c = F - Enext                                        # (N-1, 13, B)
-        Ax, Bx = rk2_jacobians_analytic(x_bl, u_bl, f_ext_bl[None], mcfg)
-        Ax = jnp.moveaxis(Ax, 1, -1)                         # (N-1, 9, 9, B)
-        Bx = jnp.moveaxis(Bx, 1, -1)
-        return c, Ax, Bx
+        return _dyn_pieces(Z, f_ext_bl, mcfg)
 
     def kkt_error(Z, lam, s, mu_d, mu, grad_f, g, c, Ax, Bx):
         eq_g = _eq_grad(Z, lam, Ax, Bx)
@@ -396,11 +401,14 @@ def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
                 shrink = err_mu <= scfg.mu_gate_factor * mu
             else:
                 shrink = jnp.ones_like(lane_done)
+            mu_pow = (
+                mu * jnp.sqrt(mu) if scfg.mu_superlin == 1.5
+                else mu ** scfg.mu_superlin
+            )  # sqrt form = bitwise match with ops/ipm_pallas.py
             mu_n = jnp.where(
                 shrink & ~lane_done,
                 jnp.maximum(
-                    tol / 20.0,
-                    jnp.minimum(scfg.kappa_mu * mu, mu ** scfg.mu_superlin),
+                    tol / 20.0, jnp.minimum(scfg.kappa_mu * mu, mu_pow)
                 ),
                 mu,
             )
@@ -452,6 +460,31 @@ def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
         done_o = jnp.where(active, new[6], done)
         err_o = jnp.where(active, new[7], err)
         return (Z_o, lam_o, s_o, mu_d_o, mu_o, it_o, done_o, err_o)
+
+    from forces_resilient_planner_tpu.ops import ipm_pallas
+
+    if (not scfg.predictor_corrector) and ipm_pallas.pallas_iter_enabled(
+        dtype, B
+    ):
+        # whole-iteration fused kernel (ops/ipm_pallas.py): everything
+        # between the while_loop boundaries runs in VMEM per 128-lane
+        # tile; only the dynamics linearization stays in XLA
+        mi_lane = jnp.full((B,), float(max_iters), dtype)
+
+        def stepper(st):  # noqa: F811 - deliberate fused override
+            Z, lam, s, mu_d, mu, it, done, err = st
+            c, Ax, Bx = dyn_pieces(Z)
+            scal = jnp.stack(
+                [mu, it.astype(dtype), done.astype(dtype), err], axis=0
+            )
+            Zn, lamn, sn, mudn, scaln = ipm_pallas.ipm_iteration_fused(
+                Z, lam, s, mu_d, scal, w, params.ref_pos, params.ref_yaw,
+                Acor, bcor, Ax, Bx, c, params.xinit, mi_lane, mcfg, scfg,
+            )
+            return (
+                Zn, lamn, sn, mudn, scaln[0],
+                scaln[1].astype(jnp.int32), scaln[2] > 0.5, scaln[3],
+            )
 
     return jax.lax.while_loop(
         lambda st: jnp.any((~st[6]) & (st[5] < max_iters)),

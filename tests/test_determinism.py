@@ -55,3 +55,29 @@ def test_debug_nans_clean_on_happy_path():
         assert int(r.exit_code) == 1
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_stream_matches_per_call_grid():
+    """solve_scenario_stream (pipelined async dispatch) must return exactly
+    the per-call solve_scenario_grid results for the same seed sets."""
+    rng = np.random.default_rng(5)
+    halves = np.array([[5.0, 5.0, 2.0]])
+    sets = []
+    for s in range(3):
+        r = np.random.default_rng(100 + s)
+        sets.append(
+            (
+                r.uniform([-3, -3, 1.0], [3, 3, 1.6], (4, 3)),
+                r.uniform(-1.5, 1.5, (2, 3)),
+            )
+        )
+    stream = bm.solve_scenario_stream(C, sets, halves)
+    assert len(stream) == 3
+    for (g, f), res in zip(sets, stream):
+        ref = bm.solve_scenario_grid(C, g, f, halves)
+        np.testing.assert_array_equal(
+            np.asarray(res.exit_code), np.asarray(ref.exit_code)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.Z), np.asarray(ref.Z), rtol=0, atol=0
+        )
