@@ -72,6 +72,28 @@ def pallas_iter_enabled(dtype, batch: int) -> bool:
     return _env_flag("FRP_PALLAS_ITER", default)
 
 
+def _rowsum(prod):
+    """(R, L) -> (1, L) as unrolled adds.  Mosaic rejects ADD reductions
+    whose operand layout has nonzero offsets over the reduced dim (which
+    strided slices like A_ref[i][:, j] produce); unrolling sidesteps the
+    layout rule, same trick as lqr_pallas._mm."""
+    acc = prod[0:1]
+    for k in range(1, prod.shape[0]):
+        acc = acc + prod[k:k + 1]
+    return acc
+
+
+def _corr3(Ai, w30):
+    """Corridor J^T contraction: rows j of sum_k Ai[k, j] * w30[k], (3, L).
+
+    Implemented as a single ADD reduction over axis 1 of the TRANSPOSED
+    full-block read (zero offsets over the reduced dim — the Mosaic layout
+    rule rejects the same reduction over the strided slice Ai[:, j]).
+    """
+    At = jnp.swapaxes(Ai, 0, 1)                            # (3, 30, L)
+    return jnp.sum(At * w30[None], axis=1)
+
+
 def _iter_kernel(
     # ---- inputs (VMEM refs, trailing LANES) ----
     Z_ref, lam_ref, s_ref, mud_ref, scal_ref,
@@ -101,27 +123,33 @@ def _iter_kernel(
     tol_ref = jnp.asarray(1e-4, dtype)
     tau = jnp.asarray(scfg.frac_to_boundary, dtype)
     reg = cst_ref[0]                                       # (L,) broadcast
-    max_iters_f = cst_ref[1]                               # (L,)
+    max_iters_f = cst_ref[1:2]                             # (1, L)
 
-    mu = scal_ref[0]
-    it = scal_ref[1]
-    done_in = scal_ref[2] > 0.5
-    err_in = scal_ref[3]
-    active = (~done_in) & (it < max_iters_f)               # (L,)
+    # All per-lane quantities are kept 2-D (1, L) and masks are kept as
+    # f32 {0, 1} until the final jnp.where: Mosaic does not lower 1-D i1
+    # vectors ("Unsupported target bitwidth for truncation").
+    mu = scal_ref[0:1]                                     # (1, L)
+    it = scal_ref[1:2]
+    done_in_f = scal_ref[2:3]
+    err_in = scal_ref[3:4]
+    one = jnp.ones((1, L), dtype)
+    zero = jnp.zeros((1, L), dtype)
+    f1 = jnp.asarray(1.0, dtype)
+    f0 = jnp.asarray(0.0, dtype)
+    active_f = (one - done_in_f) * jnp.where(it < max_iters_f, f1, f0)
 
     neg_inf = jnp.asarray(-jnp.inf, dtype)
-    zl = jnp.zeros((L,), dtype)
 
     # ---- phase 1: per-stage grad/residuals/sigma + error accumulators ----
-    ineq_max = jnp.full((L,), neg_inf)
-    comp_max = jnp.full((L,), neg_inf)
-    comp0_max = jnp.full((L,), neg_inf)
-    habs_max = jnp.full((L,), neg_inf)
-    lam_abs_sum = zl
-    mud_abs_sum = zl
-    lam_abs_max = jnp.full((L,), neg_inf)
-    mud_abs_max = jnp.full((L,), neg_inf)
-    eq_max = jnp.full((L,), neg_inf)
+    ineq_max = jnp.full((1, L), neg_inf, dtype)
+    comp_max = jnp.full((1, L), neg_inf, dtype)
+    comp0_max = jnp.full((1, L), neg_inf, dtype)
+    habs_max = jnp.full((1, L), neg_inf, dtype)
+    lam_abs_sum = zero
+    mud_abs_sum = zero
+    lam_abs_max = jnp.full((1, L), neg_inf, dtype)
+    mud_abs_max = jnp.full((1, L), neg_inf, dtype)
+    eq_max = jnp.full((1, L), neg_inf, dtype)
 
     for i in range(N):
         Zi = Z_ref[i]                                      # (17, L)
@@ -173,7 +201,7 @@ def _iter_kernel(
             ],
             axis=0,
         )
-        habs_max = jnp.maximum(habs_max, jnp.max(rows, axis=0))
+        habs_max = jnp.maximum(habs_max, jnp.max(rows, axis=0, keepdims=True))
 
         # inequality residuals g = [lb - z, z - ub, A p - b - hu]
         Ai = A_ref[i]                                      # (30, 3, L)
@@ -189,39 +217,48 @@ def _iter_kernel(
         rg_scr[i] = rg_i
         sig_scr[i] = mdi / si
 
-        ineq_max = jnp.maximum(ineq_max, jnp.max(jnp.abs(rg_i), axis=0))
+        ineq_max = jnp.maximum(
+            ineq_max, jnp.max(jnp.abs(rg_i), axis=0, keepdims=True)
+        )
         smd = si * mdi
         comp_max = jnp.maximum(
-            comp_max, jnp.max(jnp.abs(smd - mu[None]), axis=0)
+            comp_max, jnp.max(jnp.abs(smd - mu), axis=0, keepdims=True)
         )
-        comp0_max = jnp.maximum(comp0_max, jnp.max(jnp.abs(smd), axis=0))
-        mud_abs_sum = mud_abs_sum + jnp.sum(jnp.abs(mdi), axis=0)
-        mud_abs_max = jnp.maximum(mud_abs_max, jnp.max(jnp.abs(mdi), axis=0))
+        comp0_max = jnp.maximum(
+            comp0_max, jnp.max(jnp.abs(smd), axis=0, keepdims=True)
+        )
+        mud_abs_sum = mud_abs_sum + jnp.sum(
+            jnp.abs(mdi), axis=0, keepdims=True
+        )
+        mud_abs_max = jnp.maximum(
+            mud_abs_max, jnp.max(jnp.abs(mdi), axis=0, keepdims=True)
+        )
         li = lam_ref[i]
-        lam_abs_sum = lam_abs_sum + jnp.sum(jnp.abs(li), axis=0)
-        lam_abs_max = jnp.maximum(lam_abs_max, jnp.max(jnp.abs(li), axis=0))
+        lam_abs_sum = lam_abs_sum + jnp.sum(
+            jnp.abs(li), axis=0, keepdims=True
+        )
+        lam_abs_max = jnp.maximum(
+            lam_abs_max, jnp.max(jnp.abs(li), axis=0, keepdims=True)
+        )
         if i < N - 1:
-            eq_max = jnp.maximum(eq_max, jnp.max(jnp.abs(c_ref[i]), axis=0))
+            eq_max = jnp.maximum(
+                eq_max, jnp.max(jnp.abs(c_ref[i]), axis=0, keepdims=True)
+            )
 
     r_init = Z_ref[0][8:17] - xinit_ref[:]                 # (9, L)
-    eq_max = jnp.maximum(eq_max, jnp.max(jnp.abs(r_init), axis=0))
+    eq_max = jnp.maximum(
+        eq_max, jnp.max(jnp.abs(r_init), axis=0, keepdims=True)
+    )
 
     # ---- phase 2: stationarity (grad_f + J_eq^T lam + J_g^T mu_d) ----
-    stat_max = jnp.full((L,), neg_inf)
+    stat_max = jnp.full((1, L), neg_inf, dtype)
     for i in range(N):
         r = gf_scr[i]
         mdi = mud_ref[i]
         r = r - mdi[0:17] + mdi[17:34]
         Ai = A_ref[i]
         mc = mdi[34:64]                                    # (30, L)
-        corr = jnp.concatenate(
-            [
-                jnp.sum(Ai[:, 0] * mc, axis=0)[None],
-                jnp.sum(Ai[:, 1] * mc, axis=0)[None],
-                jnp.sum(Ai[:, 2] * mc, axis=0)[None],
-            ],
-            axis=0,
-        )
+        corr = _corr3(Ai, mc)
         r = jnp.concatenate(
             [r[0:8], r[8:11] + corr, r[11:17]], axis=0
         )
@@ -243,7 +280,9 @@ def _iter_kernel(
             r = jnp.concatenate(
                 [r[0:8], r[8:17] + lam_ref[0][0:9]], axis=0
             )
-        stat_max = jnp.maximum(stat_max, jnp.max(jnp.abs(r), axis=0))
+        stat_max = jnp.maximum(
+            stat_max, jnp.max(jnp.abs(r), axis=0, keepdims=True)
+        )
 
     # ---- phase 3: scaled errors, convergence, barrier update ----
     m_eq = N * NXB
@@ -258,13 +297,15 @@ def _iter_kernel(
     comp = comp_max / s_c
     comp0 = comp0_max / s_c
     err0 = jnp.maximum(jnp.maximum(stat, eq_max), jnp.maximum(ineq_max, comp0))
-    lane_done = err0 <= tol
+    lane_done_f = jnp.where(err0 <= tol, f1, f0)           # (1, L)
 
     if scfg.mu_gate:
-        err_mu = jnp.maximum(jnp.maximum(stat, eq_max), jnp.maximum(ineq_max, comp))
-        shrink = err_mu <= scfg.mu_gate_factor * mu
+        err_mu = jnp.maximum(
+            jnp.maximum(stat, eq_max), jnp.maximum(ineq_max, comp)
+        )
+        shrink_f = jnp.where(err_mu <= scfg.mu_gate_factor * mu, f1, f0)
     else:
-        shrink = jnp.ones_like(lane_done)
+        shrink_f = one
     # mu ** 1.5 as mu * sqrt(mu): general pow lowers through exp/log in
     # Mosaic; the sqrt form is exact for the default superlinear exponent
     if scfg.mu_superlin == 1.5:
@@ -272,7 +313,7 @@ def _iter_kernel(
     else:
         mu_pow = jnp.exp(scfg.mu_superlin * jnp.log(mu))
     mu_n = jnp.where(
-        shrink & ~lane_done,
+        shrink_f * (one - lane_done_f) > 0.5,
         jnp.maximum(
             tol / 20.0,
             jnp.minimum(scfg.kappa_mu * mu, mu_pow),
@@ -282,18 +323,11 @@ def _iter_kernel(
 
     # ---- phase 4: RHS q = grad_f + J_g^T (mu_n/s + sigma*r_g) ----
     for i in range(N):
-        w_vec = mu_n[None] / s_ref[i] + sig_scr[i] * rg_scr[i]  # (64, L)
+        w_vec = mu_n / s_ref[i] + sig_scr[i] * rg_scr[i]   # (64, L)
         q = gf_scr[i] - w_vec[0:17] + w_vec[17:34]
         Ai = A_ref[i]
         wc = w_vec[34:64]
-        corr = jnp.concatenate(
-            [
-                jnp.sum(Ai[:, 0] * wc, axis=0)[None],
-                jnp.sum(Ai[:, 1] * wc, axis=0)[None],
-                jnp.sum(Ai[:, 2] * wc, axis=0)[None],
-            ],
-            axis=0,
-        )
+        corr = _corr3(Ai, wc)
         q = jnp.concatenate([q[0:8], q[8:11] + corr, q[11:17]], axis=0)
         # Riccati partition: qx = [x(9), u_prev(4)], qu = u(4)
         qx_scr[i] = jnp.concatenate([q[8:17], q[4:8]], axis=0)
@@ -349,9 +383,9 @@ def _iter_kernel(
     dxb = jnp.concatenate([dx0, dtheta], axis=0)           # (13, L)
 
     # forward rollout + per-stage direction pieces dZ/ds/dmu + step ratios
-    ap_min = jnp.ones((L,), dtype)
-    ad_min = jnp.ones((L,), dtype)
-    dir_finite = jnp.ones((L,), dtype) > 0.5
+    ap_min = jnp.ones((1, L), dtype)
+    ad_min = jnp.ones((1, L), dtype)
+    dir_finite_f = jnp.ones((1, L), dtype)
 
     for i in range(N):
         if i < N - 1:
@@ -370,7 +404,7 @@ def _iter_kernel(
         Jdz = jnp.concatenate([-dZ_i, dZ_i, Adp], axis=0)  # (64, L)
         ds_i = -rg_scr[i] - Jdz
         ds_scr[i] = ds_i
-        dmu_i = mu_n[None] / s_ref[i] - sig_scr[i] * ds_i - mud_ref[i]
+        dmu_i = mu_n / s_ref[i] - sig_scr[i] * ds_i - mud_ref[i]
         dmu_scr[i] = dmu_i
 
         si = s_ref[i]
@@ -378,15 +412,29 @@ def _iter_kernel(
         ratio_p = jnp.where(
             ds_i < 0, -tau * si / jnp.minimum(ds_i, -1e-30), jnp.inf
         )
-        ap_min = jnp.minimum(ap_min, jnp.min(ratio_p, axis=0))
+        ap_min = jnp.minimum(
+            ap_min, jnp.min(ratio_p, axis=0, keepdims=True)
+        )
         ratio_d = jnp.where(
             dmu_i < 0, -tau * mdi / jnp.minimum(dmu_i, -1e-30), jnp.inf
         )
-        ad_min = jnp.minimum(ad_min, jnp.min(ratio_d, axis=0))
-        dir_finite = (
-            dir_finite
-            & jnp.all(jnp.isfinite(dZ_i), axis=0)
-            & jnp.all(jnp.isfinite(ds_i), axis=0)
+        ad_min = jnp.minimum(
+            ad_min, jnp.min(ratio_d, axis=0, keepdims=True)
+        )
+        # finiteness as float mins (Mosaic: no 1-D i1 / boolean reductions)
+        dir_finite_f = jnp.minimum(
+            dir_finite_f,
+            jnp.min(
+                jnp.where(jnp.isfinite(dZ_i), f1, f0),
+                axis=0, keepdims=True,
+            ),
+        )
+        dir_finite_f = jnp.minimum(
+            dir_finite_f,
+            jnp.min(
+                jnp.where(jnp.isfinite(ds_i), f1, f0),
+                axis=0, keepdims=True,
+            ),
         )
         if i < N - 1:
             dxb = (
@@ -394,9 +442,10 @@ def _iter_kernel(
                 + c_ref[i]
             )
 
-    bad = ~(jnp.isfinite(err0) & dir_finite)
-    keep = lane_done | bad                                 # (L,)
-    upd = active & ~keep                                   # lanes that move
+    fin_err_f = jnp.where(jnp.isfinite(err0), f1, f0)
+    bad_f = one - fin_err_f * dir_finite_f                 # (1, L)
+    keep_f = jnp.maximum(lane_done_f, bad_f)
+    upd = active_f * (one - keep_f) > 0.5                  # (1, L) mask
 
     # ---- phase 7: state update ------------------------------------------
     for i in range(N):
@@ -411,22 +460,21 @@ def _iter_kernel(
             )
         else:
             lam_plus = nu_i
-        Zn_ref[i] = jnp.where(upd[None], Zi + ap_min[None] * dZ_scr[i], Zi)
-        sn_ref[i] = jnp.where(upd[None], si + ap_min[None] * ds_scr[i], si)
-        mudn_ref[i] = jnp.where(
-            upd[None], mdi + ad_min[None] * dmu_scr[i], mdi
-        )
-        lamn_ref[i] = jnp.where(
-            upd[None], li + ad_min[None] * (lam_plus - li), li
-        )
+        Zn_ref[i] = jnp.where(upd, Zi + ap_min * dZ_scr[i], Zi)
+        sn_ref[i] = jnp.where(upd, si + ap_min * ds_scr[i], si)
+        mudn_ref[i] = jnp.where(upd, mdi + ad_min * dmu_scr[i], mdi)
+        lamn_ref[i] = jnp.where(upd, li + ad_min * (lam_plus - li), li)
 
-    err_cand = jnp.where(bad & ~lane_done, jnp.asarray(jnp.inf, dtype), err0)
-    mu_out = jnp.where(active, mu_n, mu)
-    it_out = jnp.where(active, it + 1.0, it)
-    done_out = jnp.where(active, lane_done | bad, done_in)
-    err_out = jnp.where(active, err_cand, err_in)
-    scaln_ref[:] = jnp.stack(
-        [mu_out, it_out, done_out.astype(dtype), err_out], axis=0
+    act = active_f > 0.5
+    err_cand = jnp.where(
+        bad_f * (one - lane_done_f) > 0.5, jnp.asarray(jnp.inf, dtype), err0
+    )
+    mu_out = jnp.where(act, mu_n, mu)
+    it_out = it + active_f
+    done_out_f = jnp.where(act, jnp.maximum(lane_done_f, bad_f), done_in_f)
+    err_out = jnp.where(act, err_cand, err_in)
+    scaln_ref[:] = jnp.concatenate(
+        [mu_out, it_out, done_out_f, err_out], axis=0
     )
 
 
