@@ -94,18 +94,137 @@ def _corr3(Ai, w30):
     return jnp.sum(At * w30[None], axis=1)
 
 
+def _rot_blocks(rpy, dtype):
+    """R and its three angle derivatives as (3, 3, L) stacks, built from
+    ZYX factor products (dynamics/quadrotor.py::_rot_factors, lane-major
+    concat construction — Mosaic has no scatter)."""
+    L = rpy.shape[-1]
+    cr, sr = jnp.cos(rpy[0:1]), jnp.sin(rpy[0:1])          # (1, L)
+    cp, sp = jnp.cos(rpy[1:2]), jnp.sin(rpy[1:2])
+    cy, sy = jnp.cos(rpy[2:3]), jnp.sin(rpy[2:3])
+    z = jnp.zeros((1, L), dtype)
+    o = jnp.ones((1, L), dtype)
+
+    def m(rows):
+        return jnp.concatenate(
+            [jnp.concatenate(r, axis=0)[None] for r in rows], axis=0
+        )                                                  # (3, 3, L)
+
+    Rx = m([[o, z, z], [z, cr, -sr], [z, sr, cr]])
+    dRx = m([[z, z, z], [z, -sr, -cr], [z, cr, -sr]])
+    Ry = m([[cp, z, sp], [z, o, z], [-sp, z, cp]])
+    dRy = m([[-sp, z, cp], [z, z, z], [-cp, z, -sp]])
+    Rz = m([[cy, -sy, z], [sy, cy, z], [z, z, o]])
+    dRz = m([[-sy, -cy, z], [cy, -sy, z], [z, z, z]])
+    RyRx = _mm(Ry, Rx)
+    R = _mm(Rz, RyRx)
+    dR_r = _mm(Rz, _mm(Ry, dRx))
+    dR_p = _mm(Rz, _mm(dRy, Rx))
+    dR_y = _mm(dRz, RyRx)
+    return R, dR_r, dR_p, dR_y
+
+
+def _xdot(x, u, f_ext, R, mcfg, dtype):
+    """Continuous dynamics, lane-major (9, L) (nonlinear_dynamics.m:20-40)."""
+    L = x.shape[-1]
+    vel = x[3:6]
+    thrust_m = u[3:4] / mcfg.mass                          # (1, L)
+    z_b = R[:, 2]                                          # (3, L)
+    dc = jnp.asarray(mcfg.drag_coeff, dtype)
+    # v_body = R^T v; drag_acc = R @ diag(d) v_body with d = (dc, dc, 0)
+    vb0 = _rowsum(R[:, 0] * vel)                           # (1, L)
+    vb1 = _rowsum(R[:, 1] * vel)
+    dv = jnp.concatenate([dc * vb0, dc * vb1, jnp.zeros((1, L), dtype)], 0)
+    drag = _mv(R, dv)                                      # (3, L)
+    g_e3 = jnp.concatenate(
+        [jnp.zeros((2, L), dtype), jnp.full((1, L), mcfg.g, dtype)], axis=0
+    )
+    acc = z_b * thrust_m + f_ext - g_e3 - drag
+    return jnp.concatenate([vel, acc, u[0:3]], axis=0)
+
+
+def _cont_jac(x, u, mcfg, dtype):
+    """Continuous Jacobians (Jc (9,9,L), Bc (9,4,L)), lane-major
+    (dynamics/quadrotor.py::continuous_jacobians_analytic)."""
+    L = x.shape[-1]
+    vel = x[3:6]
+    R, dR_r, dR_p, dR_y = _rot_blocks(x[6:9], dtype)
+    dc = jnp.asarray(mcfg.drag_coeff, dtype)
+    Dv = jnp.concatenate(
+        [jnp.full((1, 1, L), mcfg.drag_coeff, dtype)] * 2
+        + [jnp.zeros((1, 1, L), dtype)],
+        axis=0,
+    )                                                      # (3, 1, L)
+    RD = R * jnp.swapaxes(Dv, 0, 1)                        # R @ diag(D)
+    RDRt = _mm(RD, _t(R))
+    Tm = u[3:4] / mcfg.mass                                # (1, L)
+
+    cols = []
+    for dR in (dR_r, dR_p, dR_y):
+        dRD = dR * jnp.swapaxes(Dv, 0, 1)
+        dRDRt = _mm(dRD, _t(R)) + _mm(RD, _t(dR))
+        col = dR[:, 2] * Tm - _mv(dRDRt, vel)              # (3, L)
+        cols.append(col[:, None])
+    dv_drpy = jnp.concatenate(cols, axis=1)                # (3, 3, L)
+    dv_dv = -RDRt
+
+    z33 = jnp.zeros((3, 3, L), dtype)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
+    Jc = jnp.concatenate(
+        [
+            jnp.concatenate([z33, eye3, z33], axis=1),
+            jnp.concatenate([z33, dv_dv, dv_drpy], axis=1),
+            jnp.concatenate([z33, z33, z33], axis=1),
+        ],
+        axis=0,
+    )                                                      # (9, 9, L)
+    z31 = jnp.zeros((3, 1, L), dtype)
+    Bc = jnp.concatenate(
+        [
+            jnp.concatenate([z33, z31], axis=1),
+            jnp.concatenate([z33, (R[:, 2] / mcfg.mass)[:, None]], axis=1),
+            jnp.concatenate([eye3, z31], axis=1),
+        ],
+        axis=0,
+    )                                                      # (9, 4, L)
+    return Jc, Bc
+
+
+def _dyn_stage(x, u, f_ext, x_next, theta_next, mcfg, dtype):
+    """One stage's equality residual c (13, L) and RK2 Jacobians
+    Ax (9,9,L), Bx (9,4,L) — in-kernel version of ipm_lanes._dyn_pieces
+    (Heun step, chain-rule Jacobians, dynamics/quadrotor.py:182-201)."""
+    dt = mcfg.dt
+    R1, _, _, _ = _rot_blocks(x[6:9], dtype)
+    k1 = _xdot(x, u, f_ext, R1, mcfg, dtype)
+    x_mid = x + dt * k1
+    Rm, _, _, _ = _rot_blocks(x_mid[6:9], dtype)
+    k2 = _xdot(x_mid, u, f_ext, Rm, mcfg, dtype)
+    xn = x + 0.5 * dt * (k1 + k2)
+    c = jnp.concatenate([xn - x_next, u - theta_next], axis=0)
+
+    J1, B1 = _cont_jac(x, u, mcfg, dtype)
+    J2, B2 = _cont_jac(x_mid, u, mcfg, dtype)
+    L = x.shape[-1]
+    eye9 = jnp.broadcast_to(jnp.eye(9, dtype=dtype)[:, :, None], (9, 9, L))
+    Ax = eye9 + 0.5 * dt * (J1 + J2 + dt * _mm(J2, J1))
+    Bx = 0.5 * dt * (B1 + B2 + dt * _mm(J2, B1))
+    return c, Ax, Bx
+
+
 def _iter_kernel(
     # ---- inputs (VMEM refs, trailing LANES) ----
     Z_ref, lam_ref, s_ref, mud_ref, scal_ref,
     wwp_ref, win_ref, wrt_ref, wvl_ref, wup_ref,
     refp_ref, refy_ref, A_ref, b_ref,
-    Ax_ref, Bx_ref, c_ref, xinit_ref, bnd_ref, cst_ref,
+    fext_ref, xinit_ref, bnd_ref, cst_ref,
     # ---- outputs ----
     Zn_ref, lamn_ref, sn_ref, mudn_ref, scaln_ref,
     # ---- scratch ----
     sig_scr, rg_scr, gf_scr, qx_scr, qu_scr,
     P_scr, K_scr, cRh_scr, RiS_scr, cRt_scr, p_scr, k_scr,
     dZ_scr, ds_scr, dmu_scr, nu_scr,
+    Ax_ref, Bx_ref, c_ref,
     *,
     mcfg: ModelConfig, scfg: SolverConfig,
 ):
@@ -139,6 +258,20 @@ def _iter_kernel(
     active_f = (one - done_in_f) * jnp.where(it < max_iters_f, f1, f0)
 
     neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    # ---- phase 0: dynamics linearization, in-kernel (scratch refs) -------
+    # residuals + RK2 Jacobians never touch HBM; the XLA path's per-
+    # iteration moveaxis transposes of the (N-1, 9, 9, B) stacks vanish
+    f_ext = fext_ref[:]                                    # (3, L)
+    for i in range(N - 1):
+        Zi = Z_ref[i]
+        Znx = Z_ref[i + 1]
+        ci, Axi, Bxi = _dyn_stage(
+            Zi[8:17], Zi[0:4], f_ext, Znx[8:17], Znx[4:8], mcfg, dtype
+        )
+        c_ref[i] = ci
+        Ax_ref[i] = Axi
+        Bx_ref[i] = Bxi
 
     # ---- phase 1: per-stage grad/residuals/sigma + error accumulators ----
     ineq_max = jnp.full((1, L), neg_inf, dtype)
@@ -486,7 +619,7 @@ def ipm_iteration_fused(
     weights: nlp.StageWeights,      # (N, B) tables
     ref_pos, ref_yaw,               # (N, 3, B), (N, B)
     Acor, bcor,                     # (N, 30, B)-family corridor
-    Ax, Bx, c,                      # dynamics linearization (N-1, ..., B)
+    f_ext,                          # (3, B) — dynamics run IN-kernel
     xinit,                          # (9, B)
     max_iters_lane,                 # (B,) f32 per-lane iteration cap
     mcfg: ModelConfig, scfg: SolverConfig,
@@ -518,7 +651,7 @@ def ipm_iteration_fused(
         Z, lam, s, mu_d, scal,
         weights.w_wp, weights.w_input, weights.w_rate, weights.w_vel,
         weights.w_uprev0,
-        ref_pos, ref_yaw, Acor, bcor, Ax, Bx, c, xinit, bnd, cst,
+        ref_pos, ref_yaw, Acor, bcor, f_ext, xinit, bnd, cst,
     ]
     if pad:
         def padf(x):
@@ -560,6 +693,9 @@ def ipm_iteration_fused(
         pltpu.VMEM((N, NIN, LANES), dtype),      # ds
         pltpu.VMEM((N, NIN, LANES), dtype),      # dmu
         pltpu.VMEM((N, NXB, LANES), dtype),      # nu
+        pltpu.VMEM((N - 1, 9, 9, LANES), dtype),  # Ax (in-kernel dynamics)
+        pltpu.VMEM((N - 1, 9, NU, LANES), dtype),  # Bx
+        pltpu.VMEM((N - 1, NXB, LANES), dtype),  # c
     ]
     kern = functools.partial(_iter_kernel, mcfg=mcfg, scfg=scfg)
     outs = pl.pallas_call(

@@ -473,13 +473,12 @@ def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
 
         def stepper(st):  # noqa: F811 - deliberate fused override
             Z, lam, s, mu_d, mu, it, done, err = st
-            c, Ax, Bx = dyn_pieces(Z)
             scal = jnp.stack(
                 [mu, it.astype(dtype), done.astype(dtype), err], axis=0
             )
             Zn, lamn, sn, mudn, scaln = ipm_pallas.ipm_iteration_fused(
                 Z, lam, s, mu_d, scal, w, params.ref_pos, params.ref_yaw,
-                Acor, bcor, Ax, Bx, c, params.xinit, mi_lane, mcfg, scfg,
+                Acor, bcor, params.f_ext, params.xinit, mi_lane, mcfg, scfg,
             )
             return (
                 Zn, lamn, sn, mudn, scaln[0],

@@ -47,7 +47,6 @@ def main():
         Z, lam, s, mu_d, mu, it, done, err = st_f
         if bool(np.all(np.asarray(done))):
             break
-        c, Ax, Bx = ipm_lanes._dyn_pieces(Z, params.f_ext.T, C.model)
         scal = jnp.stack(
             [mu, it.astype(dtype), done.astype(dtype), err], axis=0
         )
@@ -55,7 +54,7 @@ def main():
             Z, lam, s, mu_d, scal, params.weights,
             params.ref_pos, params.ref_yaw,
             params.corridor_A, params.corridor_b,
-            Ax, Bx, c, params.xinit,
+            params.f_ext, params.xinit,
             jnp.full((B,), float(K), dtype), C.model, C.solver,
             interpret=True,
         )
@@ -79,6 +78,11 @@ def main():
     print("max |u| diff", du)
     print("iters equal:", np.array_equal(itr, itf))
     print("bitwise Z equal:", np.array_equal(Zr, Zf))
+    # exit status for tests/test_ops.py's subprocess harness
+    assert np.array_equal(itr, itf), "iteration counts diverge"
+    assert np.array_equal(doner, donef), "done masks diverge"
+    assert du < 1e-4, f"controls diverge: {du}"
+    print("FUSED_PARITY_OK")
 
 
 if __name__ == "__main__":
