@@ -463,8 +463,10 @@ def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
 
     from forces_resilient_planner_tpu.ops import ipm_pallas
 
-    if (not scfg.predictor_corrector) and ipm_pallas.pallas_iter_enabled(
-        dtype, B
+    if (
+        (not scfg.predictor_corrector)
+        and params.corridor_A.shape[1] == ipm_pallas.NH  # kernel row layout
+        and ipm_pallas.pallas_iter_enabled(dtype, B)
     ):
         # whole-iteration fused kernel (ops/ipm_pallas.py): everything
         # between the while_loop boundaries runs in VMEM per 128-lane
