@@ -207,6 +207,22 @@ class MapConfig:
     depth_filter_tolerance: float = 0.2
     rows: int = 480
     cols: int = 640
+    # sensor-following local map window half-extents (occ_map/local_radius_*,
+    # advanced_param.xml:63-65; window update occ_map.cpp:273-274)
+    local_radius: Tuple[float, float, float] = (6.0, 6.0, 3.0)
+    # temporal-consistency depth filter toggle (advanced_param.xml:76,
+    # projectDepthImage shift branch occ_map.cpp:357-430)
+    use_shift_filter: bool = True
+    # depth<->odom pairing tolerance [s] — the host-side analog of the
+    # reference's message_filters ApproximateTime sync (occ_map.cpp:853-868)
+    sync_tolerance: float = 0.05
+    # body(imu)->camera extrinsic rotation+translation T_ic (occ_map.cpp:794-797)
+    cam_R_ic: Tuple[Tuple[float, float, float], ...] = (
+        (0.0, 0.0, 1.0),
+        (-1.0, 0.0, 0.0),
+        (0.0, -1.0, 0.0),
+    )
+    cam_t_ic: Tuple[float, float, float] = (0.1, 0.0, 0.086)
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:

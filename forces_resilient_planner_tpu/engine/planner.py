@@ -36,6 +36,21 @@ from forces_resilient_planner_tpu.search import kinodynamic as kd
 from forces_resilient_planner_tpu.utils.timing import Timers
 
 
+def _rpy_to_rot(rpy: np.ndarray) -> np.ndarray:
+    """ZYX rotation R = Rz(yaw) @ Ry(pitch) @ Rx(roll) — NumPy twin of
+    dynamics.quadrotor.euler_to_rot for host-side camera-pose math."""
+    cr, sr = np.cos(rpy[0]), np.sin(rpy[0])
+    cp, sp = np.cos(rpy[1]), np.sin(rpy[1])
+    cy, sy = np.cos(rpy[2]), np.sin(rpy[2])
+    return np.array(
+        [
+            [cy * cp, cy * sp * sr - cr * sy, cy * sp * cr + sy * sr],
+            [cp * sy, cy * cr + sy * sp * sr, sy * sp * cr - cy * sr],
+            [-sp, cp * sr, cp * cr],
+        ]
+    )
+
+
 class FSMState(enum.Enum):
     INIT = 0
     WAIT_TARGET = 1
@@ -166,6 +181,26 @@ class ResilientPlanner:
                 grid, pts, valid, cam, cfg.map
             )
         )
+        self._jit_project = jax.jit(
+            lambda depth, R, t, fx, fy, cx, cy: og.project_depth(
+                depth, R, t, cfg.map, fx, fy, cx, cy
+            )
+        )
+        self._jit_shift = jax.jit(
+            lambda depth, R, t, ld, lR, lt, fx, fy, cx, cy:
+            og.project_depth_shift_filter(
+                depth, R, t, ld, lR, lt, cfg.map, fx, fy, cx, cy
+            )
+        )
+        # previous depth frame + camera pose for the temporal-consistency
+        # shift filter (last_T_wc0_/last_depth0_image_, occ_map.cpp:219-223)
+        self._last_depth = None
+        self._last_R_wc = None
+        self._last_t_wc = None
+        # host-side depth<->odom pairing buffers — the analog of the
+        # reference's ApproximateTime synchronizer (occ_map.cpp:853-868)
+        self._depth_queue: list = []
+        self._odom_queue: list = []
 
     # ------------------------------------------------------------------ IO
     def enable_force_estimation(self, bandwidth: float = 8.0):
@@ -192,6 +227,12 @@ class ResilientPlanner:
         t_now so the observer can integrate."""
         self.odom = np.asarray(state, float).copy()
         self.have_odom = True
+        if t_now is not None:
+            self._odom_queue.append((float(t_now), self.odom.copy()))
+            if len(self._odom_queue) > 200:
+                self._odom_queue.pop(0)
+            if self._depth_queue:
+                self._pair_depth_odom()
         est = getattr(self, "_force_estimator", None)
         if est is not None and t_now is not None:
             flying = (
@@ -275,16 +316,68 @@ class ResilientPlanner:
 
     def on_depth(self, depth: np.ndarray, R_wc: np.ndarray, t_wc: np.ndarray,
                  fx: float, fy: float, cx: float, cy: float):
-        """Depth-image mapping path (depthOdomCallback analog)."""
+        """Depth-image mapping path (depthOdomCallback, occ_map.cpp:218-312):
+        local window follows the camera (lines 273-274), the shift filter
+        rejects temporally-inconsistent pixels against the PREVIOUS frame
+        (lines 357-430), and the raycast batch-updates log odds."""
         with self.diag.timers.phase("mapping"):
-            pts, valid = og.project_depth(
-                jnp.asarray(depth, self.dtype), jnp.asarray(R_wc, self.dtype),
-                jnp.asarray(t_wc, self.dtype), self.cfg.map, fx, fy, cx, cy,
+            d = jnp.asarray(depth, self.dtype)
+            R = jnp.asarray(R_wc, self.dtype)
+            t = jnp.asarray(t_wc, self.dtype)
+            self.grid = og.update_local_window(
+                self.grid, t, jnp.asarray(self.cfg.map.local_radius, self.dtype)
             )
-            self.grid = self._jit_raycast(
-                self.grid, pts, valid, jnp.asarray(t_wc, self.dtype)
-            )
+            if self.cfg.map.use_shift_filter and self._last_depth is not None:
+                pts, valid = self._jit_shift(
+                    d, R, t, self._last_depth, self._last_R_wc,
+                    self._last_t_wc, fx, fy, cx, cy,
+                )
+            else:
+                pts, valid = self._jit_project(d, R, t, fx, fy, cx, cy)
+            self.grid = self._jit_raycast(self.grid, pts, valid, t)
+            self._last_depth, self._last_R_wc, self._last_t_wc = d, R, t
             self.refresh_cloud()
+
+    def on_depth_image(self, depth: np.ndarray, t_stamp: float,
+                       fx: float, fy: float, cx: float, cy: float):
+        """Raw depth intake for a real sensor feed: frames are queued and
+        paired with the nearest-in-time odometry sample (the host-side
+        equivalent of the reference's message_filters ApproximateTime sync,
+        occ_map.cpp:853-868); the camera pose comes from the paired odometry
+        through the body->camera extrinsic T_ic (occ_map.cpp:264-274,794-797).
+        """
+        self._depth_queue.append(
+            (float(t_stamp), np.asarray(depth, float), (fx, fy, cx, cy))
+        )
+        if len(self._depth_queue) > 100:
+            self._depth_queue.pop(0)
+        self._pair_depth_odom()
+
+    def _pair_depth_odom(self):
+        tol = self.cfg.map.sync_tolerance
+        while self._depth_queue:
+            td, depth, intr = self._depth_queue[0]
+            if not self._odom_queue:
+                return
+            ts = np.asarray([o[0] for o in self._odom_queue])
+            if ts[-1] < td:
+                # a closer odom sample may still arrive — hold the frame
+                # unless it is already hopelessly stale
+                if td - ts[-1] > 10 * tol:
+                    self._depth_queue.pop(0)
+                    continue
+                return
+            k = int(np.argmin(np.abs(ts - td)))
+            t_o, st = self._odom_queue[k]
+            self._depth_queue.pop(0)
+            if abs(t_o - td) > tol:
+                continue  # unmatched frame: dropped, as ApproximateTime would
+            R_wi = _rpy_to_rot(st[6:9])
+            R_ic = np.asarray(self.cfg.map.cam_R_ic, float)
+            t_ic = np.asarray(self.cfg.map.cam_t_ic, float)
+            self.on_depth(
+                depth, R_wi @ R_ic, st[0:3] + R_wi @ t_ic, *intr
+            )
 
     def refresh_cloud(self):
         pts, mask = self._jit_cloud(self.grid)

@@ -79,6 +79,7 @@ def run_closed_loop(
     planner, sim: QuadSim, goal_xy, duration: float, dt: float = 0.01,
     odom_noise: float = 0.0, force_schedule=None, rng=None,
     external_force_feed: bool = True,
+    sensor_feed=None, sensor_stride: int = 10,
 ):
     """Drive the full loop at the reference's timer rates
     (fsm/cmd 100 Hz, mpc/safety 20 Hz, nmpc_manage.cpp:44-46).
@@ -87,6 +88,9 @@ def run_closed_loop(
     external_force_feed: publish the true force to the planner (the
     reference's VID-Fusion feed); False = the planner must sense it itself
     (planner.enable_force_estimation()).
+    sensor_feed: optional callable (planner, sim, t) fired every
+    sensor_stride ticks BEFORE the planner ticks — the depth-camera feed
+    (the reference's ~10 Hz depth topic, occ_map.cpp:853-868).
     Returns a trace dict.
     """
     rng = rng or np.random.default_rng(0)
@@ -101,6 +105,8 @@ def run_closed_loop(
         if odom_noise > 0:
             odom[0:6] += rng.normal(0, odom_noise, 6)
         planner.on_odometry(odom, t_now=t)
+        if sensor_feed is not None and k % sensor_stride == 0:
+            sensor_feed(planner, sim, t)
         if external_force_feed:
             # the estimator publishes the (noisy) true force
             planner.on_external_force(sim.f_ext)

@@ -209,3 +209,51 @@ def test_self_estimated_force_resilience():
     # the observer must have seen the gust
     est = planner._force_estimator
     assert abs(est.f_hat[0] - 1.5) < 0.5, est.f_hat
+
+
+@pytest.mark.slow
+def test_depth_only_obstacle_scene_closed_loop():
+    """Config-3 scene flown with on_depth_image as the ONLY map input — no
+    set_occupied: synthetic depth frames (engine/depth_camera.py) are paired
+    with odometry through the host sync buffer (occ_map.cpp:853-868 analog),
+    run through the temporal-consistency shift filter (occ_map.cpp:357-430)
+    and the raycast log-odds update, with the local window following the
+    camera (occ_map.cpp:273-274)."""
+    from forces_resilient_planner_tpu.engine.depth_camera import BoxSceneCamera
+
+    planner = ResilientPlanner(CFG, max_cloud=4096, dtype=jnp.float64)
+    x0 = np.zeros(9)
+    x0[2] = 1.2
+    sim = QuadSim(CFG.model, x0.copy(), np.zeros(3))
+    planner.on_odometry(x0)
+    assert CFG.map.use_shift_filter
+    # full-map-width fence at x in [1.5, 1.7] with a gap at y in [0.8, 2.2]
+    # (wider than the inflated ego chord): the gap is the ONLY way through;
+    # the goal sits behind it, aligned with the gap
+    boxes = np.array(
+        [
+            [[1.5, -8.0, 0.0], [1.7, 0.8, 2.6]],
+            [[1.5, 2.2, 0.0], [1.7, 8.0, 2.6]],
+        ]
+    )
+    cam = BoxSceneCamera(boxes, rows=96, cols=128, fov_x_deg=130.0)
+    R_ic = np.asarray(CFG.map.cam_R_ic, float)
+    t_ic = np.asarray(CFG.map.cam_t_ic, float)
+
+    def feed(pl, s, t):
+        depth, _, _ = cam.render_from_odom(s.state, R_ic, t_ic)
+        pl.on_depth_image(depth, t, *cam.intrinsics)
+
+    trace = run_closed_loop(
+        planner, sim, [3.5, 1.5], duration=10.0,
+        sensor_feed=feed, sensor_stride=10,
+    )
+    # the depth path actually ran, with the shift filter active
+    assert planner._last_depth is not None
+    assert int(np.sum(planner.obstacle_mask)) > 50  # fence got mapped
+    final = trace["pos"][-1]
+    assert final[0] > 2.8, final  # crossed the fence line
+    # never collides with the fence (outside the gap band)
+    for p in trace["pos"]:
+        if 1.35 < p[0] < 1.85:
+            assert 0.7 < p[1] < 2.3, p

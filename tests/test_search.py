@@ -195,3 +195,47 @@ def test_init_expansion_uses_start_acc():
     assert int(res.status) in (kd.REACH_END, kd.REACH_END_BUT_SHOT_FAILS, kd.REACH_HORIZON)
     # the first edge must carry the start acceleration as its input
     np.testing.assert_allclose(np.asarray(res.edge_inputs[0]), a0, atol=1e-12)
+
+
+def test_vmapped_search_matches_single():
+    """Batched front-end: jax.vmap(kd.search) over scenarios must produce
+    exactly the B=1 results lane by lane (fixed shapes, no data-dependent
+    control flow — the TPU reformulation of HOT LOOP 1,
+    kinodynamic_astar.cpp:17-286, batches for free)."""
+    grid = og.make_grid(MAP, jnp.float64)
+    # a small obstacle block so collision handling is exercised
+    ys = np.arange(-1.0, 1.0, 0.1)
+    zs = np.arange(0.5, 2.0, 0.1)
+    yy, zz = np.meshgrid(ys, zs)
+    pts = np.stack([np.full(yy.size, 1.0), yy.ravel(), zz.ravel()], -1)
+    grid = og.set_occupancy(grid, jnp.asarray(pts), jnp.ones(len(pts), bool), MAP)
+
+    B = 4
+    rng = np.random.default_rng(11)
+    starts = np.array([[-3.0, 0.0, 1.2]] * B) + rng.uniform(-0.3, 0.3, (B, 3))
+    goals = np.array([[2.5, 0.5, 1.2]] * B) + rng.uniform(-0.5, 0.5, (B, 3))
+    v0s = rng.uniform(-0.5, 0.5, (B, 3))
+    exts = rng.uniform(-0.8, 0.8, (B, 3))
+    z3 = jnp.zeros(3, jnp.float64)
+
+    batched = jax.vmap(
+        lambda s, v, g, e: kd.search(
+            grid, s, v, z3, g, z3, e, False, SRCH, TUBE, MAP
+        ),
+        in_axes=(0, 0, 0, 0),
+    )
+    rb = batched(
+        jnp.asarray(starts), jnp.asarray(v0s), jnp.asarray(goals),
+        jnp.asarray(exts),
+    )
+    for i in range(B):
+        ri = kd.search(
+            grid, jnp.asarray(starts[i]), jnp.asarray(v0s[i]), z3,
+            jnp.asarray(goals[i]), z3, jnp.asarray(exts[i]),
+            False, SRCH, TUBE, MAP,
+        )
+        for name, bv, sv in zip(rb._fields, rb, ri):
+            np.testing.assert_array_equal(
+                np.asarray(bv[i]), np.asarray(sv),
+                err_msg=f"lane {i} field {name}",
+            )
