@@ -160,6 +160,12 @@ class CorridorConfig:
     max_obstacles: int = 2048         # fixed obstacle buffer per decomposition
     shrink_iters: int = 16            # bounded ellipsoid-shrink iterations
     epsilon: float = 1e-10            # decomp_basis/data_type.h:128
+    # gather the closest-to-segment in-bbox obstacles into this many slots
+    # before the shrink/peel loops (0 = off).  Only in-bbox points matter
+    # (set_obs, decomp_base.h:33-38); when they fit the buffer the result
+    # is identical, otherwise the farthest are dropped first — every loop
+    # round then costs max_active/max_obstacles of the full sweep.
+    max_active_obstacles: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,10 +78,21 @@ def inv3(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def ellipsoid_dist(E: Ellipsoid, pts: jnp.ndarray) -> jnp.ndarray:
-    """||C^{-1}(p - d)|| (decomp_geometry/ellipsoid.h:19-21)."""
+    """||C^{-1}(p - d)|| (decomp_geometry/ellipsoid.h:19-21).
+
+    Written as scalar-expanded elementwise ops instead of an einsum: the
+    batched (lanes, M, 3) dot output is exactly the kind of intermediate
+    XLA materializes in HBM, and the decomposition loops call this every
+    round — elementwise form fuses into one pass over (lanes, M).
+    """
     Cinv = inv3(E.C)
-    q = jnp.einsum("ij,nj->ni", Cinv, pts - E.d[None], precision=_PREC)
-    return jnp.linalg.norm(q, axis=-1)
+    r0 = pts[..., 0] - E.d[..., 0, None]
+    r1 = pts[..., 1] - E.d[..., 1, None]
+    r2 = pts[..., 2] - E.d[..., 2, None]
+    q0 = Cinv[..., 0, 0, None] * r0 + Cinv[..., 0, 1, None] * r1 + Cinv[..., 0, 2, None] * r2
+    q1 = Cinv[..., 1, 0, None] * r0 + Cinv[..., 1, 1, None] * r1 + Cinv[..., 1, 2, None] * r2
+    q2 = Cinv[..., 2, 0, None] * r0 + Cinv[..., 2, 1, None] * r1 + Cinv[..., 2, 2, None] * r2
+    return jnp.sqrt(q0 * q0 + q1 * q1 + q2 * q2)
 
 
 def _closest_masked(dists: jnp.ndarray, mask: jnp.ndarray):
@@ -293,6 +304,25 @@ class CorridorResult(NamedTuple):
     ellipsoid_d: jnp.ndarray
 
 
+def compact_obstacles(
+    p1: jnp.ndarray, p2: jnp.ndarray, bbox: jnp.ndarray,
+    obs: jnp.ndarray, obs_mask: jnp.ndarray, k: int, eps: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather the k in-bbox obstacles closest to the segment midpoint.
+
+    The decomposition loops only ever see in-bbox points (set_obs,
+    decomp_base.h:33-38), so when they fit in k slots this is a pure
+    reindexing; overflow drops the farthest points first (deviation,
+    documented at CorridorConfig.max_active_obstacles).
+    """
+    mask = bbox_filter_obstacles(p1, p2, bbox, obs, obs_mask, eps)
+    mid = 0.5 * (p1 + p2)
+    d2 = jnp.sum((obs - mid[None]) ** 2, axis=-1)
+    score = jnp.where(mask, d2, jnp.inf)
+    neg_score, idx = jax.lax.top_k(-score, k)
+    return obs[idx], neg_score > -jnp.inf
+
+
 def decompose_segment(
     p1: jnp.ndarray,
     p2: jnp.ndarray,
@@ -306,7 +336,13 @@ def decompose_segment(
     Row layout: [obstacle planes (max_obs_planes), bbox walls (6)].
     """
     bbox = jnp.asarray(cfg.local_bbox, p1.dtype)
-    mask = bbox_filter_obstacles(p1, p2, bbox, obs, obs_mask, cfg.epsilon)
+    k = cfg.max_active_obstacles
+    if k and k < obs.shape[0]:
+        obs, mask = compact_obstacles(
+            p1, p2, bbox, obs, obs_mask, k, cfg.epsilon
+        )
+    else:
+        mask = bbox_filter_obstacles(p1, p2, bbox, obs, obs_mask, cfg.epsilon)
     E = find_ellipsoid(p1, p2, obs, mask, cfg)
     obs_planes = find_polyhedron(E, obs, mask, cfg.max_obs_planes)
     wall_planes = local_bbox_planes(p1, p2, bbox)

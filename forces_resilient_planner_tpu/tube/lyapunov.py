@@ -37,6 +37,7 @@ from forces_resilient_planner_tpu.dynamics.quadrotor import (
     continuous_jacobians,
     euler_to_rot,
 )
+from forces_resilient_planner_tpu.ops.expm import expm_fixed
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -88,10 +89,127 @@ def lyapunov_gramian(Phi: jnp.ndarray, C: jnp.ndarray, t: float) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    F = jax.scipy.linalg.expm(H * t)
+    # expm_fixed (ops/expm.py): straight-line Pade-13 + masked squaring —
+    # jax.scipy's expm evaluates all five Pade branches under vmap, which
+    # dominated the batched tube phase on-chip
+    F = expm_fixed(H * t)
     F12, F22 = F[:n, n:], F[n:, n:]
     # X = F12 @ inv(F22): solve F22^T X^T = F12^T (9x9)
     return jnp.linalg.solve(F22.T, F12.T).T
+
+
+def gramian_channels(Phi: jnp.ndarray, t: float, w_bound: jnp.ndarray,
+                     n_terms: int = 12, max_doublings: int = 4):
+    """All three disturbance-channel Gramians + e^{Phi t}, matmul-only.
+
+    Computes X_i = t w_i^2 * int_0^t e^{-Phi s} e_i e_i^T e^{-Phi^T s} ds
+    for the velocity channels i in {3,4,5} (Dt_, nmpc_solver.cpp:24-26) and
+    Mp = e^{Phi t}, using ONLY batched 9x9 matmuls:
+
+      - series: with G_0 = e_i e_i^T, H_{m+1} = -(Phi u H_m + (Phi u H_m)^T)
+        / (m+1),  X(u) = u * sum_m H_m / (m+1)   (symmetry of H_m halves
+        the matmuls; truncation ~0.5^(n+1)/(n+1)! at the scaled norm)
+      - scaling/doubling: u = t / 2^s with per-matrix s from the 1-norm;
+        X(2u) = X(u) + M_u X(u) M_u^T,  M_{2u} = M_u^2 (exact identities),
+        applied max_doublings times under per-lane masks (shape-static).
+
+    Rationale: the 18x18 Van Loan route (lyapunov_gramian) pays a batched
+    LU solve per channel; on TPU the batched small-matrix LU was measured
+    at 340 ms for B=1024 pipelines (tools/tube_phase_probe.py) — 4x the
+    matmul work itself.  This form has no solve at all.
+
+    Returns (X (..., 3, 9, 9) channel-ordered, Mp (..., 9, 9)).
+    """
+    dtype = Phi.dtype
+    Pt = Phi * t
+    norm1 = jnp.max(jnp.sum(jnp.abs(Pt), axis=-2), axis=-1)
+    s = jnp.ceil(jnp.log2(jnp.maximum(norm1 / 0.5, 1.0)))
+    s = jnp.clip(jnp.nan_to_num(s, nan=0.0), 0, max_doublings)
+    u_scale = (0.5**s).astype(dtype)
+    Pu = Pt * u_scale[..., None, None]
+
+    # Mm = e^{-Pu}, Mp = e^{+Pu}: shared Horner on the power series
+    I = jnp.broadcast_to(jnp.eye(NX, dtype=dtype), Phi.shape)
+    Mm = I
+    Mp = I
+    for m in range(n_terms, 0, -1):
+        Mm = I - _mm(Pu, Mm) / m
+        Mp = I + _mm(Pu, Mp) / m
+
+    # channel series at scaled time, all channels stacked on a leading axis
+    e = jnp.eye(NX, dtype=dtype)[3:6]                       # (3, 9)
+    G = e[..., :, None] * e[..., None, :]                   # (3, 9, 9)
+    G = jnp.broadcast_to(G, Phi.shape[:-2] + (3, NX, NX))
+    Pu3 = Pu[..., None, :, :]
+    H = G
+    X = G
+    for m in range(1, n_terms + 1):
+        PH = _mm(Pu3, H)
+        H = -(PH + jnp.swapaxes(PH, -1, -2)) / m
+        X = X + H / (m + 1)
+    X = X * (t * u_scale)[..., None, None, None]
+
+    # doublings (masked, fixed trip count)
+    for k in range(max_doublings):
+        live = (s > k)[..., None, None]
+        MX = _mm(Mm[..., None, :, :], X)
+        X = jnp.where(
+            live[..., None, :, :],
+            X + _mm(MX, jnp.swapaxes(Mm, -1, -2)[..., None, :, :]),
+            X,
+        )
+        Mm = jnp.where(live, _mm(Mm, Mm), Mm)
+        Mp = jnp.where(live, _mm(Mp, Mp), Mp)
+
+    # Nt = t * w_i^2 * e_i e_i^T (channel_Qd): fold in the t w^2 factor
+    X = X * (t * w_bound**2)[..., :, None, None]
+    return X, Mp
+
+
+def channel_Qd_fast(Phi: jnp.ndarray, t: float, w_bound: jnp.ndarray):
+    """channel_Qd + e^{Phi t} via the matmul-only Gramian path.
+
+    Same combine rule as channel_Qd (trace-normalized sum); returns
+    (Qd, Mp) so the caller reuses the exponential for the Q2 recursion.
+    """
+    X, Mp = gramian_channels(Phi, t, w_bound)
+    trX = jnp.sqrt(
+        jnp.clip(jnp.trace(X, axis1=-2, axis2=-1), 1e-30, None)
+    )
+    Qd = jnp.sum(trX, axis=-1)[..., None, None] * jnp.sum(
+        X / trX[..., None, None], axis=-3
+    )
+    return Qd, Mp
+
+
+def sqrtm_psd_db(Q: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """3x3 PSD square root via scaled Denman-Beavers iteration.
+
+    Closed-form 3x3 inverses (corridor.decomp.inv3) instead of eigh: the
+    batched symmetric eigensolver measured 92 ms at (20480, 3, 3) on-chip
+    (tools/tube_phase_probe.py) — the DB iteration is elementwise math.
+    Determinant-scaled DB converges quadratically; `iters` covers the
+    ego-ellipsoid conditioning (r^2/h^2 ~ 40) to f64 accuracy.
+    """
+    from forces_resilient_planner_tpu.corridor.decomp import inv3
+
+    dtype = Q.dtype
+    n = Q.shape[-1]
+    # regularize: Q may be numerically semidefinite
+    tr = jnp.trace(Q, axis1=-2, axis2=-1)[..., None, None]
+    eps = 1e-12 * tr + 1e-30
+    Y = Q + eps * jnp.eye(n, dtype=dtype)
+    Z = jnp.broadcast_to(jnp.eye(n, dtype=dtype), Q.shape)
+    for _ in range(iters):
+        # determinant scaling: g = |det(Y) det(Z)|^(-1/(2n))
+        dY = jnp.linalg.det(Y)
+        dZ = jnp.linalg.det(Z)
+        g = jnp.abs(dY * dZ) ** (-1.0 / (2 * n))
+        g = jnp.nan_to_num(g, nan=1.0, posinf=1.0, neginf=1.0)[..., None, None]
+        Yn = 0.5 * (g * Y + inv3(g * Z))
+        Z = 0.5 * (g * Z + inv3(g * Y))
+        Y = Yn
+    return 0.5 * (Y + jnp.swapaxes(Y, -1, -2))
 
 
 def minkowski_sum(Q1: jnp.ndarray, Q2: jnp.ndarray) -> jnp.ndarray:
@@ -183,9 +301,11 @@ def propagate_tubes(
     Phi = jax.vmap(lambda x, u: closed_loop_phi(x, u, jnp.asarray(K), mcfg))(
         x_stages, u_stages
     )
-    # stage-independent heavy lifting, fully batched
-    Qd = jax.vmap(lambda P: channel_Qd(P, t, w_bound, dtype))(Phi)
-    expm_pos = jax.vmap(lambda P: jax.scipy.linalg.expm(P * t))(Phi)
+    # stage-independent heavy lifting, fully batched.  channel_Qd_fast is
+    # the matmul-only Gramian-doubling path (no batched LU anywhere) and
+    # returns e^{Phi t} as a byproduct; parity vs the Van Loan oracle
+    # (channel_Qd) is tested in tests/test_tube.py
+    Qd, expm_pos = channel_Qd_fast(Phi, t, w_bound)
 
     R = euler_to_rot(rpy)
     ego = jnp.diag(
@@ -209,7 +329,7 @@ def propagate_tubes(
     Qcomb = jnp.concatenate(
         [Q1[0][None], minkowski_sum(Q1[1:], Q2pos[:-1])], axis=0
     )
-    E = sqrtm_psd(Qcomb)
+    E = sqrtm_psd_db(Qcomb)
     return TubeResult(E=E, Q2=Q2pos, Phi=Phi)
 
 

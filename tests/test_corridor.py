@@ -287,3 +287,43 @@ def test_msgs_roundtrip_and_constraints():
     np.testing.assert_allclose(back.polyhedra[0].points, poly.points, atol=1e-15)
     np.testing.assert_allclose(back.traj, scene.traj, atol=1e-15)
     assert back.meta == {"tick": 7}
+
+
+def test_obstacle_compaction_is_transparent():
+    """max_active_obstacles: when the in-bbox set fits the compacted buffer
+    the decomposition must be identical to the uncompacted path (pure
+    reindexing; corridor/decomp.py::compact_obstacles)."""
+    import dataclasses
+
+    rng = np.random.default_rng(21)
+    M = 2048
+    obs = rng.uniform([-4, -4, -1], [6, 4, 3], (M, 3))
+    mask = rng.uniform(size=M) < 0.9
+    p1 = jnp.asarray([0.0, 0.0, 1.2])
+    p2 = jnp.asarray([0.4, 0.2, 1.2])
+
+    CFG = C.corridor
+    c_off = dataclasses.replace(CFG, max_active_obstacles=0)
+    c_on = dataclasses.replace(CFG, max_active_obstacles=512)
+    # sanity: the scene must actually overflow nothing (fit in 512)
+    from forces_resilient_planner_tpu.corridor.decomp import (
+        bbox_filter_obstacles,
+        decompose_segment,
+    )
+    n_in = int(
+        jnp.sum(
+            bbox_filter_obstacles(
+                p1, p2, jnp.asarray(CFG.local_bbox), jnp.asarray(obs),
+                jnp.asarray(mask), CFG.epsilon,
+            )
+        )
+    )
+    assert 0 < n_in <= 512, n_in
+
+    r_off = decompose_segment(p1, p2, jnp.asarray(obs), jnp.asarray(mask), c_off)
+    r_on = decompose_segment(p1, p2, jnp.asarray(obs), jnp.asarray(mask), c_on)
+    np.testing.assert_allclose(np.asarray(r_on.A), np.asarray(r_off.A), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_on.b), np.asarray(r_off.b), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(r_on.ellipsoid_C), np.asarray(r_off.ellipsoid_C), atol=1e-12
+    )

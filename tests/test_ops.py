@@ -211,3 +211,44 @@ def test_fused_iteration_kernel_matches_xla_solver():
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     assert "FUSED_PARITY_OK" in out.stdout, out.stdout[-3000:]
+
+
+def test_expm_fixed_matches_jax_scipy():
+    """ops/expm.py::expm_fixed vs jax.scipy.linalg.expm over random batches
+    spanning several norm decades (the tube Phi*dt matrices live at
+    ||A||_1 ~ 1-3; also check the scaled regimes)."""
+    import jax.scipy.linalg as jsl
+
+    from forces_resilient_planner_tpu.ops.expm import expm_fixed
+
+    rng = np.random.default_rng(7)
+    for n in (9, 18):
+        for scale in (0.05, 1.0, 8.0, 60.0):
+            A = jnp.asarray(rng.normal(0, 1.0, (16, n, n)) * scale / np.sqrt(n))
+            want = jax.vmap(jsl.expm)(A)
+            got = expm_fixed(A)
+            err = float(jnp.max(jnp.abs(got - want) / (1.0 + jnp.abs(want))))
+            assert err < 1e-9, (n, scale, err)
+
+
+def test_expm_fixed_tube_phi_regime():
+    """On actual closed-loop Phi*dt matrices from the tube propagator."""
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.ops.expm import expm_fixed
+    from forces_resilient_planner_tpu.solver.problems import hover_warm_start
+    from forces_resilient_planner_tpu.tube.lyapunov import closed_loop_phi
+
+    import jax.scipy.linalg as jsl
+
+    C = DEFAULT_CONFIG
+    rng = np.random.default_rng(1)
+    x0 = jnp.zeros(9).at[2].set(1.2)
+    Z = hover_warm_start(x0, C.model)
+    K = jnp.asarray(C.tube.K)
+    for i in range(8):
+        x = Z[i % Z.shape[0], 8:17] + jnp.asarray(rng.normal(0, 0.3, 9))
+        u = Z[i % Z.shape[0], 0:4] + jnp.asarray(rng.normal(0, 0.2, 4))
+        Phi = closed_loop_phi(x, u, K, C.model) * C.model.dt
+        want = jsl.expm(Phi)
+        got = expm_fixed(Phi)
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-11

@@ -141,3 +141,48 @@ def test_device_scenario_expansion_matches_host():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-12, err_msg=name
             )
+
+
+def test_batched_step_matches_vmapped_single():
+    """nmpc_step_batched (lane-major tiered solve) must agree with
+    jax.vmap(nmpc_step) (per-lane solve) — same math, different batching
+    (engine/pipeline_batch.py)."""
+    from forces_resilient_planner_tpu.engine.pipeline_batch import (
+        nmpc_step_batched,
+    )
+
+    B = 4
+    rng = np.random.default_rng(3)
+    base = make_inputs(with_obstacles=True)
+    keys = list(base.keys())
+    batched = {
+        k: jnp.stack([v] * B, axis=0) for k, v in base.items()
+    }
+    # per-lane variety: forces, t_offsets, one final-profile lane
+    batched["f_ext"] = jnp.asarray(rng.uniform(-1.0, 1.0, (B, 3)))
+    batched["t_offset"] = jnp.asarray(rng.uniform(0.0, 0.3, (B,)))
+    batched["use_final"] = jnp.asarray([False, True, False, False])
+    batched["mpc_output"] = batched["mpc_output"] + jnp.asarray(
+        rng.normal(0, 1e-3, batched["mpc_output"].shape)
+    )
+
+    rb = nmpc_step_batched(*[batched[k] for k in keys], cfg=C)
+    rv = jax.vmap(
+        lambda *a: pipeline.nmpc_step(*a, cfg=C)
+    )(*[batched[k] for k in keys])
+
+    assert np.array_equal(np.asarray(rb.exit_code), np.asarray(rv.exit_code))
+    np.testing.assert_allclose(
+        np.asarray(rb.mpc_output), np.asarray(rv.mpc_output),
+        atol=5e-5, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb.corridor_b_tight), np.asarray(rv.corridor_b_tight),
+        atol=1e-9, rtol=0,
+    )
+    for fld in ("reach_local_end", "switch_to_final", "diverged",
+                "goal_reached", "ref_jump_replan"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rb, fld)), np.asarray(getattr(rv, fld)),
+            err_msg=fld,
+        )

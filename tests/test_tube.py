@@ -12,6 +12,7 @@ import numpy as np
 import scipy.linalg as sla
 
 from forces_resilient_planner_tpu.config import DEFAULT_CONFIG as C
+from forces_resilient_planner_tpu.tube import lyapunov as tl
 from forces_resilient_planner_tpu.dynamics.quadrotor import euler_to_rot
 from forces_resilient_planner_tpu.tube.lyapunov import (
     channel_Qd,
@@ -148,3 +149,31 @@ def test_tighten_corridor():
     for j in range(10):
         assert abs(bt[j] - (b[j] - np.linalg.norm(E @ A[j]))) < 1e-10
     np.testing.assert_allclose(bt[10:], 0.0, atol=1e-12)
+
+
+def test_gramian_channels_matches_van_loan_oracle():
+    """channel_Qd_fast / gramian_channels (matmul-only doubling path) vs the
+    Van Loan + LU oracle (channel_Qd / lyapunov_gramian) across random
+    linearization points."""
+    rng = np.random.default_rng(17)
+    w = jnp.full((3,), C.tube.ext_noise_bound)
+    for k in range(10):
+        x = jnp.asarray(rng.normal(0, 0.5, 9))
+        u = jnp.asarray(np.array([0, 0, 0, 7.3]) + rng.normal(0, 0.6, 4))
+        Phi = tl.closed_loop_phi(x, u, jnp.asarray(C.tube.K), C.model)
+        Qd_ref = tl.channel_Qd(Phi, C.model.dt, w)
+        Qd_new, Mp = tl.channel_Qd_fast(Phi, C.model.dt, w)
+        assert float(jnp.max(jnp.abs(Qd_new - Qd_ref))) < 1e-14
+        Mp_ref = jax.scipy.linalg.expm(Phi * C.model.dt)
+        assert float(jnp.max(jnp.abs(Mp - Mp_ref))) < 1e-12
+
+
+def test_sqrtm_db_matches_eigh():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        A = rng.normal(0, 1.0, (3, 3))
+        Q = A @ A.T * 10 ** rng.uniform(-4, 1)
+        got = tl.sqrtm_psd_db(jnp.asarray(Q))
+        want = tl.sqrtm_psd(jnp.asarray(Q))
+        scale = 1e-9 + float(jnp.max(jnp.abs(want)))
+        assert float(jnp.max(jnp.abs(got - want))) / scale < 1e-9
