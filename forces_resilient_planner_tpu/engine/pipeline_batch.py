@@ -30,7 +30,7 @@ from forces_resilient_planner_tpu.engine.reference import (
 )
 from forces_resilient_planner_tpu.solver import ipm_lanes, nlp
 from forces_resilient_planner_tpu.tube.lyapunov import (
-    propagate_tubes,
+    propagate_tubes_batch,
     tighten_corridor,
 )
 
@@ -62,11 +62,9 @@ def nmpc_step_batched(
         )
     )(mpc_output, kino_path, kino_size, t_offset)
 
-    # 2. disturbance tubes (getDistrEllipsoid, nmpc_solver.cpp:567-611)
-    K = jnp.asarray(cfg.tube.K, dtype)
-    tube = jax.vmap(
-        lambda out: propagate_tubes(out[:N], mcfg, cfg.tube, K)
-    )(mpc_output)
+    # 2. disturbance tubes (getDistrEllipsoid, nmpc_solver.cpp:567-611) —
+    #    per-stage math via the Pallas tube kernel on TPU f32
+    tube = propagate_tubes_batch(mpc_output[:, :N], mcfg, cfg.tube)
 
     # 3. corridors + tube tightening (forces_normal.cpp:111-136)
     A_sel, b_sel, _ = jax.vmap(

@@ -333,6 +333,79 @@ def propagate_tubes(
     return TubeResult(E=E, Q2=Q2pos, Phi=Phi)
 
 
+def propagate_tubes_batch(
+    Z_prev: jnp.ndarray,      # (B, N, 17)
+    mcfg: ModelConfig,
+    tcfg: TubeConfig,
+    K: jnp.ndarray | None = None,
+) -> TubeResult:
+    """Batched propagate_tubes with the Pallas per-stage kernel fast path.
+
+    The per-stage heavy math (Jacobians, channel Gramians, e^{Phi t}, ego
+    ellipsoid) runs in ops/tube_pallas.py over the flattened (B*N) lanes
+    on TPU f32 (XLA fallback otherwise = exactly the propagate_tubes
+    formulas); only the O(N) Minkowski recursion and the DB sqrt stay
+    here.  Identical math — parity tested in tests/test_tube.py and
+    tests/test_ops.py.
+
+    K = None uses the config gain tcfg.K (kernel-eligible — the kernel
+    bakes the static gain); passing an explicit array forces the XLA
+    path (the gate must be trace-free)."""
+    from forces_resilient_planner_tpu.ops import tube_pallas
+
+    B, N = Z_prev.shape[0], Z_prev.shape[1]
+    dtype = Z_prev.dtype
+    t = mcfg.dt
+    L = B * N
+    x = Z_prev[..., 8:17].reshape(L, NX)
+    u = Z_prev[..., 0:4].reshape(L, 4)
+
+    if K is None and tube_pallas.tube_pallas_enabled(dtype, L):
+        Qd, expm_pos, Phi, Q1 = tube_pallas.tube_stage_lanes(
+            x, u, mcfg, tcfg
+        )
+    else:
+        Kj = jnp.asarray(tcfg.K if K is None else K, dtype)
+        w_bound = jnp.full((3,), tcfg.ext_noise_bound, dtype)
+        Phi = jax.vmap(
+            lambda xi, ui: closed_loop_phi(xi, ui, Kj, mcfg)
+        )(x, u)
+        Qd, expm_pos = channel_Qd_fast(Phi, t, w_bound)
+        R = euler_to_rot(x[:, 6:9])
+        ego = jnp.diag(
+            jnp.asarray([tcfg.ego_r**2, tcfg.ego_r**2, tcfg.ego_h**2], dtype)
+        )
+        Q1 = jnp.einsum("nij,jk,nlk->nil", R, ego, R, precision=_PREC)
+
+    Qd = Qd.reshape(B, N, NX, NX)
+    expm_pos = expm_pos.reshape(B, N, NX, NX)
+    Phi = Phi.reshape(B, N, NX, NX)
+    Q1 = Q1.reshape(B, N, 3, 3)
+
+    Q_init0 = (tcfg.epsilon**2) * jnp.eye(NX, dtype=dtype)
+
+    def scan_body(Q_init, inp):
+        Qd_i, Em_i = inp
+        Qu = minkowski_sum(Q_init, Qd_i)
+        Q2pos = jnp.einsum(
+            "bij,bjk,blk->bil", Em_i, Qu, Em_i, precision=_PREC
+        )[:, 0:3, 0:3]
+        return Qu, Q2pos
+
+    _, Q2pos = jax.lax.scan(
+        scan_body,
+        jnp.broadcast_to(Q_init0, (B, NX, NX)),
+        (jnp.moveaxis(Qd, 1, 0), jnp.moveaxis(expm_pos, 1, 0)),
+    )
+    Q2pos = jnp.moveaxis(Q2pos, 0, 1)                     # (B, N, 3, 3)
+
+    Qcomb = jnp.concatenate(
+        [Q1[:, 0][:, None], minkowski_sum(Q1[:, 1:], Q2pos[:, :-1])], axis=1
+    )
+    E = sqrtm_psd_db(Qcomb)
+    return TubeResult(E=E, Q2=Q2pos, Phi=Phi)
+
+
 def tighten_corridor(
     A: jnp.ndarray, b: jnp.ndarray, E: jnp.ndarray
 ) -> jnp.ndarray:

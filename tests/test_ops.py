@@ -252,3 +252,46 @@ def test_expm_fixed_tube_phi_regime():
         want = jsl.expm(Phi)
         got = expm_fixed(Phi)
         assert float(jnp.max(jnp.abs(got - want))) < 1e-11
+
+
+def test_tube_kernel_interpret_matches_xla():
+    """ops/tube_pallas.py (interpret mode) vs the XLA tube-stage math
+    (closed_loop_phi + channel_Qd_fast + ego Q1) on the same lanes."""
+    import dataclasses
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.dynamics.quadrotor import euler_to_rot
+    from forces_resilient_planner_tpu.ops import tube_pallas
+    from forces_resilient_planner_tpu.tube import lyapunov as tl
+
+    C = DEFAULT_CONFIG
+    mcfg, tcfg = C.model, C.tube
+    rng = np.random.default_rng(9)
+    L = tube_pallas.LANES
+    dt32 = jnp.float32
+    x = jnp.asarray(rng.normal(0, 0.4, (L, 9)), dt32)
+    u = jnp.asarray(
+        np.array([0, 0, 0, 7.3]) + rng.normal(0, 0.5, (L, 4)), dt32
+    )
+
+    Qd_k, Mp_k, Phi_k, Q1_k = tube_pallas.tube_stage_lanes(
+        x, u, mcfg, tcfg, interpret=True
+    )
+
+    K = jnp.asarray(tcfg.K, dt32)
+    w = jnp.full((3,), tcfg.ext_noise_bound, dt32)
+    Phi_x = jax.vmap(lambda a, b: tl.closed_loop_phi(a, b, K, mcfg))(x, u)
+    Qd_x, Mp_x = tl.channel_Qd_fast(Phi_x, mcfg.dt, w)
+    R = euler_to_rot(x[:, 6:9])
+    ego = jnp.diag(jnp.asarray(
+        [tcfg.ego_r**2, tcfg.ego_r**2, tcfg.ego_h**2], dt32))
+    Q1_x = jnp.einsum("nij,jk,nlk->nil", R, ego, R)
+
+    for name, got, want, tol in (
+        ("Phi", Phi_k, Phi_x, 2e-5),
+        ("Mp", Mp_k, Mp_x, 2e-6),
+        ("Qd", Qd_k, Qd_x, 1e-6),
+        ("Q1", Q1_k, Q1_x, 1e-6),
+    ):
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < tol, (name, err)
