@@ -53,33 +53,29 @@ class NMPCStepResult(NamedTuple):
     ref_jump_replan: jnp.ndarray
 
 
-def build_corridors(
-    ref: ReferenceResult,
-    tube_E: jnp.ndarray,
-    obstacles: jnp.ndarray,
-    obstacle_mask: jnp.ndarray,
-    cfg: PlannerConfig,
-):
-    """All-stage decomposition + sequential reuse selection."""
-    mcfg = cfg.model
-    seed2 = jnp.stack(
+def corridor_seed2(ref: ReferenceResult, cfg: PlannerConfig) -> jnp.ndarray:
+    """Second seed point 10 cm along the reference yaw
+    (nmpc_solver.cpp:317-319).  Works on (..., N, 3)/(..., N) refs."""
+    return jnp.stack(
         [
-            ref.ref_pos[:, 0] + cfg.corridor.seed_len * jnp.cos(ref.ref_yaw),
-            ref.ref_pos[:, 1] + cfg.corridor.seed_len * jnp.sin(ref.ref_yaw),
-            ref.ref_pos[:, 2],
+            ref.ref_pos[..., 0] + cfg.corridor.seed_len * jnp.cos(ref.ref_yaw),
+            ref.ref_pos[..., 1] + cfg.corridor.seed_len * jnp.sin(ref.ref_yaw),
+            ref.ref_pos[..., 2],
         ],
         axis=-1,
-    )  # (N, 3) second seed point (nmpc_solver.cpp:317-319)
+    )
 
-    dec = jax.vmap(
-        lambda p1, p2: decompose_segment(
-            p1, p2, obstacles, obstacle_mask, cfg.corridor, mcfg.nh
-        )
-    )(ref.ref_pos, seed2)
-    A_all, b_all = dec.A, dec.b  # (N, nh, 3), (N, nh)
 
-    # reuse rule: keep previous stage's polytope while the (1.1x inflated)
-    # ellipsoid-tightened containment test passes (nmpc_solver.cpp:293-311)
+def reuse_select(
+    A_all: jnp.ndarray,   # (N, nh, 3)
+    b_all: jnp.ndarray,   # (N, nh)
+    tube_E: jnp.ndarray,  # (N, 3, 3)
+    ref_pos: jnp.ndarray, # (N, 3)
+    cfg: PlannerConfig,
+):
+    """Sequential corridor reuse rule as a gather scan: keep the previous
+    stage's polytope while the inflated ellipsoid-tightened containment
+    test passes (getSikangConst, nmpc_solver.cpp:293-311)."""
     infl = cfg.tube.reuse_inflation
 
     def reuse_step(prev_idx, inp):
@@ -98,11 +94,31 @@ def build_corridors(
         idx = jnp.where(fresh, i, prev_idx)
         return idx, idx
 
-    N = ref.ref_pos.shape[0]
+    N = ref_pos.shape[0]
     _, sel = jax.lax.scan(
-        reuse_step, jnp.asarray(0), (jnp.arange(N), tube_E, ref.ref_pos)
+        reuse_step, jnp.asarray(0), (jnp.arange(N), tube_E, ref_pos)
     )
     return A_all[sel], b_all[sel], sel
+
+
+def build_corridors(
+    ref: ReferenceResult,
+    tube_E: jnp.ndarray,
+    obstacles: jnp.ndarray,
+    obstacle_mask: jnp.ndarray,
+    cfg: PlannerConfig,
+):
+    """All-stage decomposition + sequential reuse selection."""
+    mcfg = cfg.model
+    seed2 = corridor_seed2(ref, cfg)  # (N, 3)
+
+    dec = jax.vmap(
+        lambda p1, p2: decompose_segment(
+            p1, p2, obstacles, obstacle_mask, cfg.corridor, mcfg.nh
+        )
+    )(ref.ref_pos, seed2)
+    A_all, b_all = dec.A, dec.b  # (N, nh, 3), (N, nh)
+    return reuse_select(A_all, b_all, tube_E, ref.ref_pos, cfg)
 
 
 def nmpc_step(

@@ -23,6 +23,8 @@ from forces_resilient_planner_tpu.config import PlannerConfig
 from forces_resilient_planner_tpu.engine.pipeline import (
     NMPCStepResult,
     build_corridors,
+    corridor_seed2,
+    reuse_select,
 )
 from forces_resilient_planner_tpu.engine.reference import (
     sample_references,
@@ -66,10 +68,25 @@ def nmpc_step_batched(
     #    per-stage math via the Pallas tube kernel on TPU f32
     tube = propagate_tubes_batch(mpc_output[:, :N], mcfg, cfg.tube)
 
-    # 3. corridors + tube tightening (forces_normal.cpp:111-136)
-    A_sel, b_sel, _ = jax.vmap(
-        lambda r, E, obs, om: build_corridors(r, E, obs, om, cfg)
-    )(ref, tube.E, obstacles, obstacle_mask)
+    # 3. corridors + tube tightening (forces_normal.cpp:111-136).  The
+    #    all-stage decomposition runs in the corridor kernel on TPU f32
+    #    (scenario lanes; obstacles VMEM-resident across stages — no
+    #    compaction needed); the cheap reuse gather-scan stays vmapped.
+    from forces_resilient_planner_tpu.ops import corridor_pallas
+
+    if corridor_pallas.corridor_pallas_enabled(dtype, B):
+        seed2 = corridor_seed2(ref, cfg)                 # (B, N, 3)
+        A_all, b_all = corridor_pallas.decompose_stages_lanes(
+            ref.ref_pos, seed2, obstacles, obstacle_mask,
+            cfg.corridor, mcfg.nh,
+        )
+        A_sel, b_sel, _ = jax.vmap(
+            lambda Aa, ba, E, rp: reuse_select(Aa, ba, E, rp, cfg)
+        )(A_all, b_all, tube.E, ref.ref_pos)
+    else:
+        A_sel, b_sel, _ = jax.vmap(
+            lambda r, E, obs, om: build_corridors(r, E, obs, om, cfg)
+        )(ref, tube.E, obstacles, obstacle_mask)
     b_tight = tighten_corridor(A_sel, b_sel, tube.E)
 
     # 4. pack + lane-major tiered solve.  xinit = stage-1 prediction

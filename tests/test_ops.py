@@ -295,3 +295,50 @@ def test_tube_kernel_interpret_matches_xla():
     ):
         err = float(jnp.max(jnp.abs(got - want)))
         assert err < tol, (name, err)
+
+
+def test_corridor_kernel_interpret_matches_decompose_segment():
+    """ops/corridor_pallas.py (interpret) vs corridor/decomp.py::
+    decompose_segment over random scenes, both caps profiles."""
+    import dataclasses
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.corridor.decomp import decompose_segment
+    from forces_resilient_planner_tpu.ops import corridor_pallas
+
+    rng = np.random.default_rng(31)
+    for ccfg, nh in (
+        (dataclasses.replace(
+            DEFAULT_CONFIG.corridor, shrink_iters=6, max_obs_planes=24,
+            max_active_obstacles=0), 30),
+        (dataclasses.replace(
+            DEFAULT_CONFIG.corridor, shrink_iters=4, max_obs_planes=12,
+            max_active_obstacles=0), 30),
+    ):
+        B, N, M = 2, 3, 96
+        p1 = rng.uniform([-1, -1, 0.8], [1, 1, 1.6], (B, N, 3))
+        yaw = rng.uniform(-np.pi, np.pi, (B, N))
+        p2 = p1 + 0.1 * np.stack(
+            [np.cos(yaw), np.sin(yaw), np.zeros_like(yaw)], -1
+        )
+        obs = rng.uniform([-3, -3, -0.5], [3, 3, 3], (B, M, 3))
+        mask = rng.uniform(size=(B, M)) < 0.9
+
+        A_k, b_k = corridor_pallas.decompose_stages_lanes(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(obs),
+            jnp.asarray(mask), ccfg, nh, interpret=True,
+        )
+        for bi in range(B):
+            for ni in range(N):
+                ref = decompose_segment(
+                    jnp.asarray(p1[bi, ni]), jnp.asarray(p2[bi, ni]),
+                    jnp.asarray(obs[bi]), jnp.asarray(mask[bi]), ccfg, nh,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(A_k[bi, ni]), np.asarray(ref.A), atol=1e-9,
+                    err_msg=f"A b={bi} n={ni} caps={ccfg.max_obs_planes}",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(b_k[bi, ni]), np.asarray(ref.b), atol=1e-9,
+                    err_msg=f"b b={bi} n={ni}",
+                )
