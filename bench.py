@@ -148,7 +148,7 @@ def _single_solve(C):
 
 def _pipeline_step():
     """Full nmpc_step (references -> tubes -> corridors -> tighten -> solve)
-    latency, single and batched — the driver entry configuration
+    B=1 latency — the driver entry configuration
     (__graft_entry__._small_cfg), compile-warm."""
     import jax
     import jax.numpy as jnp
@@ -173,39 +173,139 @@ def _pipeline_step():
         _ = np.asarray(out[1])
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat) * 1e3
-
-    # batched pipeline: vmapped nmpc_step over a fleet of perturbed
-    # scenarios — the multi-robot / scenario-sweep shape of the FULL
-    # pipeline (corridor decomposition included), not just the solver.
-    # (The tube step uses the Van Loan Gramian, tube/lyapunov.py — the
-    # 81x81 Kronecker LU it replaced overflowed scoped VMEM past Bp~8.)
-    Bp = 32
-    vfn = jax.jit(jax.vmap(fn))
-    bargs = [jnp.tile(v[None], (Bp,) + (1,) * v.ndim) for v in args]
-    rng = np.random.default_rng(0)
-    bargs[4] = bargs[4] + jnp.asarray(
-        rng.normal(0, 1e-3, bargs[4].shape), bargs[4].dtype
-    )
-    out = vfn(*bargs)
-    _ = np.asarray(out[1])
-    blat = []
-    for s in range(10):
-        bargs[4] = bargs[4] + jnp.asarray(
-            rng.normal(0, 1e-3, bargs[4].shape), bargs[4].dtype
-        )
-        bargs[5] = bargs[5] + jnp.asarray(
-            rng.normal(0, 1e-3, bargs[5].shape), bargs[5].dtype
-        )
-        t0 = time.perf_counter()
-        out = vfn(*bargs)
-        _ = np.asarray(out[1])
-        blat.append(time.perf_counter() - t0)
-    blat = np.asarray(blat)
     return dict(
         p50_ms=float(np.percentile(lat, 50)),
         p99_ms=float(np.percentile(lat, 99)),
-        batch=Bp,
-        batched_steps_per_s=float(Bp / blat.mean()),
+    )
+
+
+def _pipeline_batched(B=4096):
+    """Batched FULL-pipeline throughput at PRODUCTION corridor caps
+    (engine/pipeline_batch.py::nmpc_step_batched: references -> tube
+    kernel -> corridor kernel -> tighten -> lane-major solve).  The
+    program mirrors tools/pipeline_scale_probe.py's full-step section
+    (scalar-reduced outputs; fresh perturbed inputs per call)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.engine.pipeline_batch import (
+        nmpc_step_batched,
+    )
+
+    cfg = DEFAULT_CONFIG
+    lean = ge._small_cfg()
+    dtype = jnp.float32
+    ARG_KEYS = (
+        "mpc_output", "kino_path", "kino_size", "t_offset", "state_mpc",
+        "f_ext", "end_pt", "obstacles", "obstacle_mask", "use_final",
+    )
+    args0 = ge._example_inputs(
+        dc.replace(lean, corridor=cfg.corridor), dtype, batch=B
+    )
+
+    @jax.jit
+    def ffull(a):
+        r = nmpc_step_batched(*[a[k] for k in ARG_KEYS], cfg=cfg)
+        return (
+            jnp.sum(r.mpc_output.astype(jnp.float32))
+            + jnp.sum(r.iters.astype(jnp.float32)),
+            jnp.mean((r.exit_code == 1).astype(jnp.float32)),
+            jnp.mean(r.iters.astype(jnp.float32)),
+        )
+
+    def margs(s):
+        a = dict(args0)
+        r = np.random.default_rng(500 + s)
+        a["f_ext"] = a["f_ext"] + jnp.asarray(
+            r.normal(0, 1e-3, a["f_ext"].shape), dtype)
+        a["mpc_output"] = a["mpc_output"] + jnp.asarray(
+            r.normal(0, 1e-4, a["mpc_output"].shape), dtype)
+        return a
+
+    out = ffull(margs(0))
+    _ = np.asarray(out[0])
+    lat = []
+    solved = []
+    for s in range(1, 7):
+        a = margs(s)
+        t0 = time.perf_counter()
+        out = ffull(a)
+        _ = np.asarray(out[0])
+        lat.append(time.perf_counter() - t0)
+        solved.append(float(out[1]))
+    lat = np.asarray(lat)
+    return dict(
+        batch=B,
+        batched_steps_per_s=float(B / np.median(lat)),
+        solved_frac=float(np.mean(solved)),
+    )
+
+
+def _closed_loop_smoke():
+    """Config-3 closed loop ON-CHIP: fence scene + time-varying wind flown
+    by the complete stack (occupancy map, kinodynamic search, corridors,
+    tubes, solver, FSM, 100 Hz commands) at f32 on the TPU — the automatic
+    re-certification of the README's hand-run config-3 claim.  Certifies:
+    goal reached, the fence is never violated, and the per-tick solve p99
+    stays under the reference's 50 ms budget (nmpc_manage.cpp:46)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.engine.planner import ResilientPlanner
+    from forces_resilient_planner_tpu.engine.simulator import (
+        QuadSim,
+        run_closed_loop,
+    )
+
+    C = dc.replace(
+        DEFAULT_CONFIG,
+        map=dc.replace(
+            DEFAULT_CONFIG.map, size=(16.0, 16.0, 4.0),
+            origin=(-8.0, -8.0, -1.0),
+        ),
+        search=dc.replace(
+            DEFAULT_CONFIG.search, expand_width=8, node_capacity=4096,
+            max_rounds=48,
+        ),
+    )
+    planner = ResilientPlanner(C, max_cloud=2048, dtype=jnp.float32)
+    x0 = np.zeros(9)
+    x0[2] = 1.2
+    sim = QuadSim(C.model, x0.copy(), np.zeros(3))
+    planner.on_odometry(x0)
+
+    ys = np.arange(-3, 3, 0.1)
+    zs = np.arange(0, 2.6, 0.1)
+    yy, zz = np.meshgrid(ys, zs)
+    pts = np.stack([np.full(yy.size, 1.5), yy.ravel(), zz.ravel()], -1)
+    planner.set_occupied(pts[~((pts[:, 1] > -0.2) & (pts[:, 1] < 1.6))])
+
+    def wind(t):
+        return np.array([0.8 * np.sin(0.5 * t), 0.0, 0.0])
+
+    trace = run_closed_loop(
+        planner, sim, [3.5, 0.0], duration=7.0, force_schedule=wind
+    )
+    final = trace["pos"][-1]
+    reached = bool(np.linalg.norm(final - np.array([3.5, 0.0, 1.2])) < 0.5)
+    no_collision = True
+    for p in trace["pos"]:
+        if 1.35 < p[0] < 1.65 and not (-0.2 < p[1] < 1.7):
+            no_collision = False
+    rep = planner.diag.timing_report()
+    return dict(
+        reached=reached,
+        no_collision=no_collision,
+        p99_solve_ms=float(rep.get("p99_solve_ms", float("nan"))),
+        solves=planner.diag.solves,
+        final=[round(float(v), 3) for v in final],
     )
 
 
@@ -252,28 +352,59 @@ def main():
         ps = _pipeline_step()
         extras["pipeline_step_p50_ms"] = round(ps["p50_ms"], 2)
         extras["pipeline_step_p99_ms"] = round(ps["p99_ms"], 2)
-        extras["pipeline_batched_steps_per_s"] = round(
-            ps["batched_steps_per_s"], 1
-        )
         print(
             f"[bench] full nmpc_step (B=1, entry config): "
-            f"p50={ps['p50_ms']:.1f}ms p99={ps['p99_ms']:.1f}ms; "
-            f"batched (B={ps['batch']}): "
-            f"{ps['batched_steps_per_s']:.0f} steps/s",
+            f"p50={ps['p50_ms']:.1f}ms p99={ps['p99_ms']:.1f}ms",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover
         print(f"[bench] pipeline section failed: {e!r}", file=sys.stderr)
+
+    try:
+        pb = _pipeline_batched()
+        extras["pipeline_batched_steps_per_s"] = round(
+            pb["batched_steps_per_s"], 1
+        )
+        extras["pipeline_batch"] = pb["batch"]
+        print(
+            f"[bench] full pipeline batched (B={pb['batch']}, production "
+            f"caps, tube+corridor kernels): "
+            f"{pb['batched_steps_per_s']:.0f} steps/s "
+            f"solved={pb['solved_frac']:.4f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] batched pipeline section failed: {e!r}",
+              file=sys.stderr)
+
+    try:
+        cl = _closed_loop_smoke()
+        extras["closed_loop_goal_reached"] = cl["reached"]
+        extras["closed_loop_no_collision"] = cl["no_collision"]
+        extras["closed_loop_solve_p99_ms"] = round(cl["p99_solve_ms"], 2)
+        print(
+            f"[bench] on-chip closed-loop smoke (config 3, wind): "
+            f"reached={cl['reached']} no_collision={cl['no_collision']} "
+            f"solves={cl['solves']} solve_p99={cl['p99_solve_ms']:.1f}ms "
+            f"final={cl['final']} (budget: 50ms)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] closed-loop smoke failed: {e!r}", file=sys.stderr)
 
     parity_file = Path(__file__).resolve().parent / "PARITY_TPU.json"
     if parity_file.exists():
         p = json.loads(parity_file.read_text())
         extras["parity_max_u_diff"] = p.get("max_u_diff")
         extras["parity_lanes"] = p.get("n_lanes")
+        extras["parity_strict_lanes"] = p.get("n_strict_lanes")
+        extras["parity_fence_lanes"] = p.get("n_fence_lanes")
         print(
             f"[bench] on-chip parity certificate: max|u| diff "
             f"{p.get('max_u_diff')} over {p.get('n_lanes')} lanes "
-            f"(tools/tpu_parity_check.py, same config/seeds)",
+            f"({p.get('n_seed_sets')} seed sets, "
+            f"{p.get('n_fence_lanes')} corridor-rich, "
+            f"{p.get('n_strict_lanes')} strict; tools/tpu_parity_check.py)",
             file=sys.stderr,
         )
 

@@ -45,6 +45,7 @@ def solve_oracle(
     scfg: SolverConfig,
     v0: np.ndarray | None = None,
     maxiter: int = 500,
+    ftol: float = 1e-14,
 ):
     """Returns (Z (N,17), scipy result).  Requires jax_enable_x64.
 
@@ -93,7 +94,72 @@ def solve_oracle(
                 "jac": lambda v: np.asarray(cons_jac(v)),
             }
         ],
-        options={"maxiter": maxiter, "ftol": 1e-14},
+        options={"maxiter": maxiter, "ftol": ftol},
     )
     Z = np.asarray(_rollout_Z(jnp.asarray(res.x), params, mcfg))
     return Z, res
+
+
+def kkt_certificate(
+    v: np.ndarray,
+    params: NLPParams,
+    mcfg: ModelConfig,
+    scfg: SolverConfig,
+    active_tol: float = 1e-6,
+):
+    """Independent KKT residuals at a condensed-space point v.
+
+    SLSQP frequently stops with status 8 ("positive directional derivative
+    for linesearch") AT the optimum when ftol is below what the condensed
+    f64 objective resolves; its status flag then under-reports convergence.
+    This certificate checks the point itself:
+
+      feas = max inequality violation (>= 0 convention)
+      stat = inf-norm of grad_f - J_act^T mu - lam_lb + lam_ub minimized
+             over nonnegative multipliers (NNLS), with the one-sided rule
+             at active bounds
+
+    Returns (feas, stat) — a point with feas <~ 1e-8 and stat <~ 1e-5 *
+    scale is a KKT point regardless of the SLSQP status."""
+    N = mcfg.N
+    H = nlp.stage_hessians(params.weights, mcfg, jnp.float64)
+    lb, ub = nlp.variable_bounds(mcfg, jnp.float64)
+    hu = scfg.corridor_slack
+
+    def obj(vv):
+        Z = _rollout_Z(jnp.asarray(vv), params, mcfg)
+        return nlp.cost_value(Z, params, H)
+
+    def cons(vv):
+        Z = _rollout_Z(jnp.asarray(vv), params, mcfg)
+        return -nlp.inequality_residuals(Z, params, lb, ub, hu).reshape(-1)
+
+    g = np.asarray(jax.grad(obj)(jnp.asarray(v)))
+    c = np.asarray(cons(v))
+    J = np.asarray(jax.jacfwd(cons)(jnp.asarray(v)))
+    feas = float(np.maximum(-c, 0.0).max())
+
+    lbv = np.tile(np.asarray(lb[:4]), N + 1)
+    ubv = np.tile(np.asarray(ub[:4]), N + 1)
+    at_lb = v < lbv + 1e-8
+    at_ub = v > ubv - 1e-8
+    active = np.abs(c) < active_tol
+
+    cols = []
+    if active.any():
+        cols.append(J[active].T)                       # (nv, n_act)
+    if at_lb.any():
+        cols.append(np.eye(len(v))[:, at_lb])          # +lam_lb columns
+    if at_ub.any():
+        cols.append(-np.eye(len(v))[:, at_ub])         # -lam_ub columns
+    if cols:
+        A = np.concatenate(cols, axis=1)
+        mu, _ = sopt.nnls(A, g)
+        r = g - A @ mu
+    else:
+        r = g
+    # one-sided rule at active bounds: r >= 0 allowed at lb, <= 0 at ub
+    r_eff = np.where(at_lb, np.minimum(r, 0.0), r)
+    r_eff = np.where(at_ub, np.maximum(r_eff, 0.0), r_eff)
+    stat = float(np.abs(r_eff).max())
+    return feas, stat

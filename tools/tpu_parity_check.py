@@ -4,17 +4,28 @@ BASELINE's north star reads ">=10k solves/s/chip ... matching FORCES Pro
 controls to 1e-3".  bench.py produces the first half on the real TPU
 (f32, Pallas fused kernels, multi-level tier schedule); the f64 parity
 suite (tests/test_solver_parity.py) proves the second half on CPU.  This
-tool ties both halves to the SAME execution: it runs bench.py's
-configuration and scenario seeds on the TPU, then re-solves a lane subset
-with the independent f64 CPU oracle (scipy SLSQP, oracle/cpu_oracle.py)
-in a subprocess and asserts max |u_tpu - u_oracle| <= 1e-3 over the
-4x20 control sequence (the FORCES output analog, forces_normal.cpp:142-168).
+tool ties both halves to the SAME execution, over TWO workload families:
+
+  box    — bench.py's scenario distribution, THREE seed sets (the first
+           three timed sets), solved by the identical executable path;
+  fence  — corridor-RICH scenes (engine/scenarios.py::corridor_scenarios:
+           real ellipsoid decompositions against a staggered double fence,
+           genuinely active non-bbox rows), built at f64 on CPU, cast to
+           f32 for the TPU solve — the exact production quantization.
+
+A lane subset (hard lanes first: highest iteration counts) is re-solved
+by the independent f64 CPU oracle (scipy SLSQP, oracle/cpu_oracle.py)
+with MULTI-START (two extra randomized initial points when SLSQP stalls
+with status 8) so most certificate lanes are strictly converged, and
+max |u_tpu - u_oracle| <= 1e-3 is asserted over the 4x20 control
+sequence (the FORCES output analog, forces_normal.cpp:142-168).
 
 Writes PARITY_TPU.json, which bench.py folds into its "extras".
 
 Usage:
-  python tools/tpu_parity_check.py            # TPU stage + oracle subprocess
-  python tools/tpu_parity_check.py --oracle F # (internal) oracle stage on F
+  python tools/tpu_parity_check.py              # gen -> TPU -> oracle
+  python tools/tpu_parity_check.py --gen F      # (internal) scene build
+  python tools/tpu_parity_check.py --oracle F   # (internal) oracle stage
 """
 from __future__ import annotations
 
@@ -31,58 +42,185 @@ ROOT = Path(__file__).resolve().parents[1]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
-N_LANES = 32          # oracle lanes: ~3 s/solve on CPU
-SEED = 1000           # first timed seed set of bench.py
+BOX_SEEDS = (1000, 1001, 1002)   # bench.py's first timed seed sets
+BOX_LANES_PER_SET = 8
+FENCE_B = 128
+FENCE_SEED = 42
+FENCE_LANES = 12
 TOL = 1e-3
+ORACLE_RESTARTS = 2
 
 
-def tpu_stage(dump: Path):
+def _pick_lanes(ec, it, n):
+    """Hard lanes first (highest iterations), topped up with an even
+    spread; solved lanes only."""
+    solved_idx = np.flatnonzero(ec == 1)
+    hard = solved_idx[np.argsort(it[solved_idx])[::-1][:n]]
+    spread = solved_idx[
+        np.linspace(0, len(solved_idx) - 1, n).astype(int)
+    ]
+    return np.concatenate([hard, np.setdiff1d(spread, hard)])[:n]
+
+
+def gen_stage(dump: Path):
+    """CPU f64 subprocess: build the fence scenario set once; both the TPU
+    stage (cast to f32) and the oracle (native f64) consume THIS data, so
+    they solve the same NLP up to f32 parameter quantization."""
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from forces_resilient_planner_tpu.engine.scenarios import (
+        PARITY_SCENE_CFG,
+        corridor_scenarios,
+    )
+
+    scen = corridor_scenarios(
+        PARITY_SCENE_CFG, FENCE_B, seed=FENCE_SEED
+    )
+    p = scen.params
+    np.savez(
+        dump,
+        Z0=np.asarray(scen.Z0),
+        xinit=np.asarray(p.xinit),
+        ref_pos=np.asarray(p.ref_pos),
+        ref_yaw=np.asarray(p.ref_yaw),
+        f_ext=np.asarray(p.f_ext),
+        corridor_A=np.asarray(p.corridor_A),
+        corridor_b=np.asarray(p.corridor_b),
+    )
+    # corridor rows genuinely active (non-bbox planes present)
+    nrm = np.linalg.norm(np.asarray(p.corridor_A), axis=-1)
+    n_rows = int((nrm > 1e-9).sum())
+    print(f"[gen] fence B={FENCE_B} active rows={n_rows}", flush=True)
+
+
+def _fence_scenario_set(gen: Path, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.engine import batch as bm
+    from forces_resilient_planner_tpu.engine.scenarios import PARITY_SCENE_CFG
+    from forces_resilient_planner_tpu.solver import nlp
+
+    d = np.load(gen)
+    B = d["Z0"].shape[0]
+    weights = nlp.make_stage_weights(
+        PARITY_SCENE_CFG.weights, PARITY_SCENE_CFG.model.N, final=False,
+        dtype=dtype,
+    )
+    weights_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), weights
+    )
+    params = nlp.NLPParams(
+        xinit=jnp.asarray(d["xinit"], dtype),
+        ref_pos=jnp.asarray(d["ref_pos"], dtype),
+        ref_yaw=jnp.asarray(d["ref_yaw"], dtype),
+        f_ext=jnp.asarray(d["f_ext"], dtype),
+        corridor_A=jnp.asarray(d["corridor_A"], dtype),
+        corridor_b=jnp.asarray(d["corridor_b"], dtype),
+        weights=weights_b,
+    )
+    return bm.ScenarioSet(Z0=jnp.asarray(d["Z0"], dtype), params=params)
+
+
+def tpu_stage(gen: Path, dump: Path):
+    import jax
+    import jax.numpy as jnp
 
     import bench
 
     bench.setup_cache()
     from forces_resilient_planner_tpu.engine import batch as bm
+    from forces_resilient_planner_tpu.engine.scenarios import PARITY_SCENE_CFG
 
     C = bench.bench_config()
-    g, f = bench.bench_seeds(SEED)
+    out = {}
     t0 = time.perf_counter()
-    r = bm.solve_scenario_grid(C, g, f, bench.HALVES)
-    u = np.asarray(r.Z[:, :, 0:4])
-    ec = np.asarray(r.exit_code)
-    it = np.asarray(r.iters)
+    for seed in BOX_SEEDS:
+        g, f = bench.bench_seeds(seed)
+        r = bm.solve_scenario_grid(C, g, f, bench.HALVES)
+        u = np.asarray(r.Z[:, :, 0:4])
+        ec = np.asarray(r.exit_code)
+        it = np.asarray(r.iters)
+        sel = _pick_lanes(ec, it, BOX_LANES_PER_SET)
+        out[f"box{seed}_sel"] = sel
+        out[f"box{seed}_u"] = u[sel]
+        out[f"box{seed}_iters"] = it[sel]
+        print(
+            f"[tpu] box seed={seed} B={len(ec)} solved={ec.mean():.4f}",
+            flush=True,
+        )
+
+    scen32 = _fence_scenario_set(gen, jnp.float32)
+    rf = bm.solve_scenarios(scen32, PARITY_SCENE_CFG)
+    uf = np.asarray(rf.Z[:, :, 0:4])
+    ecf = np.asarray(rf.exit_code)
+    itf = np.asarray(rf.iters)
+    fsel = _pick_lanes(ecf, itf, FENCE_LANES)
+    out["fence_sel"] = fsel
+    out["fence_u"] = uf[fsel]
+    out["fence_iters"] = itf[fsel]
     print(
-        f"[tpu] device={jax.devices()[0]} B={len(ec)} "
-        f"solved={ec.mean():.4f} wall={time.perf_counter()-t0:.1f}s",
+        f"[tpu] fence B={len(ecf)} solved={ecf.mean():.4f} "
+        f"device={jax.devices()[0]} wall={time.perf_counter()-t0:.1f}s",
         flush=True,
     )
+    np.savez(dump, **out)
 
-    B = len(ec)
-    # lane selection: evenly spread + the highest-iteration (hardest) lanes,
-    # solved lanes only (unsolved lanes have no KKT point to certify)
-    solved_idx = np.flatnonzero(ec == 1)
-    spread = solved_idx[
-        np.linspace(0, len(solved_idx) - 1, N_LANES * 3 // 4).astype(int)
-    ]
-    hard = solved_idx[np.argsort(it[solved_idx])[::-1][: N_LANES]]
-    # hard lanes FIRST, topped up with spread lanes: np.unique would sort
-    # indices and discard the high-index hard lanes whenever |spread|+|hard|
-    # exceeds N_LANES, silently weakening the hard-lane coverage
-    sel = np.concatenate([hard, np.setdiff1d(spread, hard)])[:N_LANES]
 
-    np.savez(
-        dump,
-        sel=sel,
-        u_tpu=u[sel],
-        iters=it[sel],
-        exit_code=ec[sel],
-        seed=SEED,
-        B=B,
+def _oracle_solve_multistart(p_lane, mcfg, scfg, lane_seed):
+    """SLSQP multi-start: the primary solve runs at ftol=1e-14; a status-8
+    stall (directional-derivative stall at the optimum — 1e-14 is below
+    what the condensed f64 objective can resolve) is retried at
+    ftol=1e-10, then from randomized initial points.  A lane counts as
+    strictly converged only if a status-0 run lands within 10x machine-
+    scale of the tightest iterate (the retries must CONFIRM the same KKT
+    point, not find a different one).  Returns (Z, status, n_tries)."""
+    from forces_resilient_planner_tpu.oracle.cpu_oracle import solve_oracle
+
+    from forces_resilient_planner_tpu.oracle.cpu_oracle import (
+        kkt_certificate,
     )
-    return sel
+
+    Z, res = solve_oracle(p_lane, mcfg, scfg)
+    Z_ref = Z
+    v_ref = np.asarray(res.x)
+    best = (Z, int(res.status))
+    tries = 1
+    rng = np.random.default_rng(lane_seed)
+
+    def accept(Z2, res2):
+        # same KKT point as the tight solve (controls agree far below TOL)
+        return (
+            int(res2.status) == 0
+            and float(np.abs(np.asarray(Z2[:, 0:4]) - np.asarray(Z_ref[:, 0:4])).max())
+            < 1e-5
+        )
+
+    if best[1] != 0:
+        Z2, res2 = solve_oracle(p_lane, mcfg, scfg, ftol=1e-10)
+        tries += 1
+        if accept(Z2, res2):
+            best = (Z_ref, 0)   # confirmed: report the tightest iterate
+    while best[1] != 0 and tries <= 1 + ORACLE_RESTARTS:
+        nv = 4 + 4 * mcfg.N
+        v0 = np.zeros(nv)
+        v0[3::4] = mcfg.hover_thrust
+        v0 = v0 + rng.normal(0, 0.05, nv)
+        Z2, res2 = solve_oracle(p_lane, mcfg, scfg, v0=v0, ftol=1e-10)
+        tries += 1
+        if accept(Z2, res2):
+            best = (Z_ref, 0)   # confirmed: report the tightest iterate
+    # independent KKT certificate at the reported point: SLSQP's status
+    # under-reports convergence (status-8 stalls AT the optimum), so
+    # strictness is decided from the point itself (oracle/cpu_oracle.py)
+    feas, stat = kkt_certificate(v_ref, p_lane, mcfg, scfg)
+    return best[0], best[1], tries, feas, stat
 
 
-def oracle_stage(dump: Path):
+def oracle_stage(gen: Path, dump: Path):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -92,51 +230,88 @@ def oracle_stage(dump: Path):
     import bench
 
     from forces_resilient_planner_tpu.engine import batch as bm
-    from forces_resilient_planner_tpu.oracle.cpu_oracle import solve_oracle
+    from forces_resilient_planner_tpu.engine.scenarios import PARITY_SCENE_CFG
 
     data = np.load(dump)
-    sel, u_tpu = data["sel"], data["u_tpu"]
     C = bench.bench_config()
 
-    # rebuild the identical scenario set at f64 host-side; make_scenarios
-    # and the device-side expansion share the (goal-major, force, corridor)
-    # ordering (engine/batch.py)
-    g, f = bench.bench_seeds(int(data["seed"]))
-    scen = bm.make_scenarios(C, g, f, bench.HALVES, dtype=jnp.float64)
-    assert scen.batch == int(data["B"])
-
-    diffs, statuses = [], []
+    diffs, statuses, families, kkts = [], [], [], []
     t0 = time.perf_counter()
+
+    for seed in BOX_SEEDS:
+        sel = data[f"box{seed}_sel"]
+        u_tpu = data[f"box{seed}_u"]
+        g, f = bench.bench_seeds(seed)
+        scen = bm.make_scenarios(C, g, f, bench.HALVES, dtype=jnp.float64)
+        for j, lane in enumerate(sel):
+            p_lane = jax.tree.map(lambda a: a[int(lane)], scen.params)
+            Z, status, tries, feas, stat = _oracle_solve_multistart(
+                p_lane, C.model, C.solver, 10_000 + int(lane)
+            )
+            du = np.abs(np.asarray(Z[:, 0:4]) - u_tpu[j])
+            diffs.append(du.max())
+            statuses.append(status)
+            kkts.append((feas, stat))
+            families.append("box")
+            print(
+                f"[oracle] box{seed} lane {lane}: max|du|={du.max():.2e} "
+                f"status={status} tries={tries} feas={feas:.1e} "
+                f"stat={stat:.1e}",
+                flush=True,
+            )
+
+    scen64 = _fence_scenario_set(gen, jnp.float64)
+    sel = data["fence_sel"]
+    u_tpu = data["fence_u"]
     for j, lane in enumerate(sel):
-        p_lane = jax.tree.map(lambda a: a[int(lane)], scen.params)
-        Z, res = solve_oracle(p_lane, C.model, C.solver)
+        p_lane = jax.tree.map(lambda a: a[int(lane)], scen64.params)
+        Z, status, tries, feas, stat = _oracle_solve_multistart(
+            p_lane, PARITY_SCENE_CFG.model, PARITY_SCENE_CFG.solver,
+            20_000 + int(lane),
+        )
         du = np.abs(np.asarray(Z[:, 0:4]) - u_tpu[j])
         diffs.append(du.max())
-        statuses.append(int(res.status))
+        statuses.append(status)
+        kkts.append((feas, stat))
+        families.append("fence")
         print(
-            f"[oracle] lane {lane}: max|du|={du.max():.2e} "
-            f"slsqp_status={res.status} iters_tpu={int(data['iters'][j])}",
+            f"[oracle] fence lane {lane}: max|du|={du.max():.2e} "
+            f"status={status} tries={tries} feas={feas:.1e} "
+            f"stat={stat:.1e}",
             flush=True,
         )
+
     wall = time.perf_counter() - t0
     diffs = np.asarray(diffs)
-    # SLSQP status 8 ("positive directional derivative") is a stall at the
-    # optimum, typical near an active set at ftol=1e-14; such lanes carry
-    # diffs indistinguishable from status-0 lanes, so the certificate
-    # covers ALL lanes and additionally reports the strictly-converged max
-    ok_oracle = np.asarray(statuses) == 0
+    statuses = np.asarray(statuses)
+    fam = np.asarray(families)
+    kkts = np.asarray(kkts)
+    ok = statuses == 0
+    # strict = SLSQP status 0 OR the independent KKT certificate holds at
+    # the oracle's point (feas <= 1e-7, NNLS stationarity <= 1e-3)
+    kkt_ok = (kkts[:, 0] <= 1e-7) & (kkts[:, 1] <= 1e-3)
+    strict = ok | kkt_ok
+    fence_mask = fam == "fence"
     result = {
-        "n_lanes": int(len(sel)),
-        "n_oracle_converged": int(ok_oracle.sum()),
+        "n_lanes": int(len(diffs)),
+        "n_seed_sets": len(BOX_SEEDS),
+        "n_fence_lanes": int(fence_mask.sum()),
+        "n_oracle_converged": int(ok.sum()),
+        "n_strict_lanes": int(strict.sum()),
+        "max_feas_residual": float(kkts[:, 0].max()),
+        "max_stat_residual": float(kkts[:, 1].max()),
         "max_u_diff": float(diffs.max()),
-        "max_u_diff_strict_lanes": float(diffs[ok_oracle].max())
-        if ok_oracle.any() else None,
+        "max_u_diff_strict_lanes": float(diffs[strict].max())
+        if strict.any() else None,
+        "max_u_diff_fence": float(diffs[fence_mask].max())
+        if fence_mask.any() else None,
         "p99_u_diff": float(np.percentile(diffs, 99)),
         "tol": TOL,
         "pass": bool(diffs.max() <= TOL),
-        "seed": int(data["seed"]),
-        "batch": int(data["B"]),
-        "config": "bench.bench_config() [f32+Pallas+tiers((16,1/4),(18,1/16)) on TPU]",
+        "batch_box": 4096,
+        "batch_fence": FENCE_B,
+        "config": "bench.bench_config() boxes + PARITY_SCENE_CFG fence "
+                  "[f32+Pallas+tiers on TPU vs f64 SLSQP multi-start]",
         "oracle_wall_s": round(wall, 1),
     }
     out = ROOT / "PARITY_TPU.json"
@@ -146,15 +321,25 @@ def oracle_stage(dump: Path):
 
 
 def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--oracle":
-        oracle_stage(Path(sys.argv[2]))
+    if len(sys.argv) > 2 and sys.argv[1] == "--gen":
+        gen_stage(Path(sys.argv[2]))
         return
+    if len(sys.argv) > 3 and sys.argv[1] == "--oracle":
+        oracle_stage(Path(sys.argv[2]), Path(sys.argv[3]))
+        return
+    gen = Path(tempfile.gettempdir()) / "frp_tpu_parity_scenes.npz"
     dump = Path(tempfile.gettempdir()) / "frp_tpu_parity_dump.npz"
-    tpu_stage(dump)
-    # oracle runs in a fresh process: it needs CPU + x64, the TPU stage has
-    # already bound the axon backend in this one
+    # scene build + oracle run in fresh processes: they need CPU + x64,
+    # while this process binds the axon TPU backend
     rc = subprocess.call(
-        [sys.executable, __file__, "--oracle", str(dump)], cwd=str(ROOT)
+        [sys.executable, __file__, "--gen", str(gen)], cwd=str(ROOT)
+    )
+    if rc != 0:
+        sys.exit(rc)
+    tpu_stage(gen, dump)
+    rc = subprocess.call(
+        [sys.executable, __file__, "--oracle", str(gen), str(dump)],
+        cwd=str(ROOT),
     )
     sys.exit(rc)
 
