@@ -309,6 +309,47 @@ def _closed_loop_smoke():
     )
 
 
+def _fleet_bench(B=128, duration=8.0):
+    """Fleet closed loop on-chip (engine/fleet.py): B scenarios through
+    vmapped search + batched NMPC + device plant on the fence scene —
+    the config-3-at-scale Monte-Carlo demo.  Reuses tools/fleet_probe.py's
+    scene/config so executables stay cache-shared."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent / "tools"))
+    import fleet_probe as fp
+
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.engine import fleet
+
+    cfg = fp.fleet_cfg()
+    dtype = jnp.float32
+    grid, obs, mask = fp.fleet_scene(cfg, dtype)
+    rng = np.random.default_rng(5)
+    starts = np.zeros((B, 9))
+    starts[:, 0] = -0.5
+    starts[:, 1] = rng.uniform(0.8, 1.6, B)
+    starts[:, 2] = 1.2
+    goals = np.stack(
+        [np.full(B, 3.2), rng.uniform(0.9, 1.5, B), np.full(B, 1.2)], -1
+    )
+    f_true = rng.uniform(-0.5, 0.5, (B, 3))
+    res = fleet.run_fleet(
+        cfg, grid, jnp.asarray(obs, dtype), mask, starts, goals, f_true,
+        duration=duration, replan_every=10, dtype=dtype,
+    )
+    return dict(
+        batch=B,
+        reached_frac=res.reached_frac,
+        collided_frac=res.collided_frac,
+        solved_frac=res.solved_frac,
+        realtime_factor=B * duration / res.wall_s,
+        searches=res.searches,
+    )
+
+
 def main():
     import jax
 
@@ -391,6 +432,23 @@ def main():
         )
     except Exception as e:  # pragma: no cover
         print(f"[bench] closed-loop smoke failed: {e!r}", file=sys.stderr)
+
+    try:
+        fl = _fleet_bench()
+        extras["fleet_reached_frac"] = round(fl["reached_frac"], 4)
+        extras["fleet_collided_frac"] = round(fl["collided_frac"], 4)
+        extras["fleet_solved_frac"] = round(fl["solved_frac"], 4)
+        extras["fleet_realtime_factor"] = round(fl["realtime_factor"], 1)
+        print(
+            f"[bench] fleet closed loop (B={fl['batch']}, full stack incl. "
+            f"batched search): reached={fl['reached_frac']:.2f} "
+            f"collided={fl['collided_frac']:.3f} "
+            f"solved={fl['solved_frac']:.3f} "
+            f"aggregate realtime x{fl['realtime_factor']:.1f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] fleet section failed: {e!r}", file=sys.stderr)
 
     parity_file = Path(__file__).resolve().parent / "PARITY_TPU.json"
     if parity_file.exists():

@@ -1,0 +1,64 @@
+"""Fleet closed loop: B scenarios through search + batched NMPC + plant
+(engine/fleet.py) on a shared scene — the Monte-Carlo config-3 shape."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+from forces_resilient_planner_tpu.engine import fleet
+from forces_resilient_planner_tpu.mapping import occ_grid as og
+
+CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    map=dataclasses.replace(
+        DEFAULT_CONFIG.map, size=(12.0, 12.0, 4.0), origin=(-6.0, -6.0, -1.0)
+    ),
+    search=dataclasses.replace(
+        DEFAULT_CONFIG.search, expand_width=8, node_capacity=4096,
+        max_rounds=32,
+    ),
+    corridor=dataclasses.replace(
+        DEFAULT_CONFIG.corridor, max_obstacles=512, shrink_iters=8,
+        max_obs_planes=12,
+    ),
+)
+
+
+def test_fleet_reaches_goals_no_collisions():
+    """Fence with a WIDE gap (1.8 m: enough clearance for ego + the
+    disturbance tube at far horizon stages — scenarios threading tighter
+    gaps honestly fail their solves by tube-tightened infeasibility,
+    which the per-lane ladder then escalates)."""
+    dtype = jnp.float64
+    grid = og.make_grid(CFG.map, dtype)
+    ys = np.arange(-4.0, 4.0, 0.1)
+    zs = np.arange(0.0, 2.6, 0.1)
+    yy, zz = np.meshgrid(ys, zs)
+    pts = np.stack([np.full(yy.size, 1.5), yy.ravel(), zz.ravel()], -1)
+    keep = ~((pts[:, 1] > 0.3) & (pts[:, 1] < 2.1))
+    pts = pts[keep]
+    grid = og.set_occupancy(
+        grid, jnp.asarray(pts, dtype), jnp.ones(len(pts), bool), CFG.map
+    )
+    obs, mask = og.occupied_cloud(grid, CFG.map, 2048)
+
+    B = 4
+    rng = np.random.default_rng(2)
+    starts = np.zeros((B, 9))
+    starts[:, 0] = -0.5
+    starts[:, 1] = rng.uniform(0.6, 1.8, B)
+    starts[:, 2] = 1.2
+    goals = np.stack(
+        [np.full(B, 3.2), rng.uniform(0.6, 1.8, B), np.full(B, 1.2)], -1
+    )
+    f_true = rng.uniform(-0.5, 0.5, (B, 3))
+
+    res = fleet.run_fleet(
+        CFG, grid, jnp.asarray(obs, dtype), mask, starts, goals, f_true,
+        duration=6.0, replan_every=10, dtype=dtype,
+    )
+    assert res.reached_frac >= 0.75, res
+    assert res.collided_frac == 0.0, res
+    assert res.solved_frac > 0.8, res
+    assert res.mean_final_dist < 1.0, res

@@ -37,9 +37,18 @@ X0 = np.zeros(9)
 X0[2] = 1.2
 
 
+_jit_solve = jax.jit(
+    lambda Z0, params: ipm.solve(Z0, params, MCFG, C.solver)
+)
+
+
 def _solve(params):
+    # jitted on purpose: an EAGER ipm.solve dispatches its while_loop as a
+    # primitive whose on-demand XLA:CPU compile segfaulted reproducibly
+    # when this file ran late in the full suite (~99 tests of compiled
+    # state); under jit the same program compiles and runs fine
     Z0 = hover_warm_start(jnp.asarray(X0), MCFG)
-    return ipm.solve(Z0, params, MCFG, C.solver)
+    return _jit_solve(Z0, params)
 
 
 def _violations(Z, params):
