@@ -273,26 +273,46 @@ def update_local_window(
     )
 
 
-def occupied_cloud(grid: OccGrid, cfg: MapConfig, max_points: int):
-    """Extract occupied voxel centers (local_view_cloud analog,
-    occ_map.cpp:177-215) as a fixed-size padded buffer + mask.
+def occupied_cloud(grid: OccGrid, cfg: MapConfig, max_points: int,
+                   window_only: bool = True):
+    """Extract occupied voxel centers as a fixed-size padded buffer + mask.
 
-    The reference feeds corridor generation from the published local cloud
-    (nmpc_solver.cpp:990-995); this is the explicit equivalent.
+    window_only=True is the local_view_cloud (localOccVisCallback,
+    occ_map.cpp:177-215: occupied voxels INSIDE the sensor-following
+    window) — the cloud the reference feeds corridor generation
+    (nmpc_solver.cpp:990-995).  window_only=False is the
+    history_view_cloud (globalOccVisCallback, occ_map.cpp:150-175: the
+    whole map).
     """
-    occ = (grid.buffer > cfg.min_occupancy_log).reshape(-1)
     shape = cfg.grid_shape
+    n = shape[0] * shape[1] * shape[2]
+    flat = jnp.arange(n)
+    iz = flat % shape[2]
+    iy = (flat // shape[2]) % shape[1]
+    ix = flat // (shape[1] * shape[2])
+    origin = jnp.asarray(cfg.origin, grid.buffer.dtype)
+    centers = (
+        jnp.stack([ix, iy, iz], axis=-1).astype(grid.buffer.dtype) + 0.5
+    ) * cfg.resolution + origin
+
+    occ = (grid.buffer > cfg.min_occupancy_log).reshape(-1)
+    if window_only:
+        occ = occ & jnp.all(
+            (centers >= grid.local_min[None])
+            & (centers <= grid.local_max[None]),
+            axis=-1,
+        )
     idx_sorted = jnp.argsort(~occ)  # occupied first (stable)
     sel = idx_sorted[:max_points]
     mask = occ[sel]
-    iz = sel % shape[2]
-    iy = (sel // shape[2]) % shape[1]
-    ix = sel // (shape[1] * shape[2])
-    origin = jnp.asarray(cfg.origin, grid.buffer.dtype)
-    pts = (
-        jnp.stack([ix, iy, iz], axis=-1).astype(grid.buffer.dtype) + 0.5
-    ) * cfg.resolution + origin
+    pts = centers[sel]
     return pts, mask
+
+
+def history_cloud(grid: OccGrid, cfg: MapConfig, max_points: int):
+    """Whole-map occupied cloud (history_view_cloud analog,
+    occ_map.cpp:150-175)."""
+    return occupied_cloud(grid, cfg, max_points, window_only=False)
 
 
 def project_depth_shift_filter(

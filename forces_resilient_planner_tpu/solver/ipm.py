@@ -143,8 +143,15 @@ def solve(
     params: NLPParams,
     mcfg: ModelConfig,
     scfg: SolverConfig,
+    init_duals=None,
 ) -> SolveResult:
-    """Solve one NMPC NLP.  Z0: (N, 17) warm start."""
+    """Solve one NMPC NLP.  Z0: (N, 17) warm start.
+
+    init_duals: optional (lam (N,13), s (N,64), mu_d (N,64), mu scalar)
+    dual-state warm start (receding-horizon shifting experiments,
+    tools/dual_warmstart_experiment.py).  None (default) keeps the cold
+    initialization — the traced program is unchanged, so cached
+    executables stay valid."""
     N = Z0.shape[0]
     dtype = Z0.dtype
     H = nlp.stage_hessians(params.weights, mcfg, dtype)
@@ -159,10 +166,17 @@ def solve(
     Zc = jnp.clip(Z0, lb + margin, ub - margin)
 
     g0 = nlp.inequality_residuals(Zc, params, lb, ub, hu)
-    s0 = jnp.maximum(-g0, 1e-2)
-    mu0 = jnp.asarray(scfg.mu_init, dtype)
-    mu_d0 = jnp.clip(mu0 / s0, 1e-6, 1e6)
-    lam0 = jnp.zeros((N, NXB), dtype)
+    if init_duals is None:
+        s0 = jnp.maximum(-g0, 1e-2)
+        mu0 = jnp.asarray(scfg.mu_init, dtype)
+        mu_d0 = jnp.clip(mu0 / s0, 1e-6, 1e6)
+        lam0 = jnp.zeros((N, NXB), dtype)
+    else:
+        lam_i, s_i, mud_i, mu_i = init_duals
+        s0 = jnp.maximum(jnp.asarray(s_i, dtype), 1e-6)
+        mu_d0 = jnp.clip(jnp.asarray(mud_i, dtype), 1e-8, 1e8)
+        mu0 = jnp.asarray(mu_i, dtype)
+        lam0 = jnp.asarray(lam_i, dtype)
 
     def body(st: _State) -> _State:
         Z, lam, s, mu_d, mu = st.Z, st.lam, st.s, st.mu_d, st.mu

@@ -138,3 +138,24 @@ def test_project_depth_roundtrip():
     assert len(pts) == 1
     off = 1.0 * 2.0 / 387.0  # one-pixel offset from the principal point
     np.testing.assert_allclose(pts[0], [2.0, -off, 1.0 - off], atol=1e-6)
+
+
+def test_local_vs_history_cloud_window_semantics():
+    """local_view_cloud restricts to the sensor-following window
+    (localOccVisCallback, occ_map.cpp:177-215); history_view_cloud covers
+    the whole map (globalOccVisCallback, 150-175)."""
+    grid = og.make_grid(CFG, jnp.float64)
+    pts = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 1.0]])
+    grid = og.set_occupancy(grid, jnp.asarray(pts), jnp.ones(2, bool), CFG)
+    # window around the first point only
+    grid = og.update_local_window(
+        grid, jnp.asarray([1.0, 1.0, 1.0]), jnp.asarray([1.0, 1.0, 1.0])
+    )
+    loc_pts, loc_mask = og.occupied_cloud(grid, CFG, 64)
+    hist_pts, hist_mask = og.history_cloud(grid, CFG, 64)
+    loc = np.asarray(loc_pts)[np.asarray(loc_mask)]
+    hist = np.asarray(hist_pts)[np.asarray(hist_mask)]
+    assert len(loc) >= 1 and len(hist) >= 2
+    assert np.all(np.linalg.norm(loc - pts[0], axis=1) < 0.2)
+    # history contains the far voxel too
+    assert np.any(np.linalg.norm(hist - pts[1], axis=1) < 0.2)
