@@ -95,8 +95,11 @@ def reuse_select(
         return idx, idx
 
     N = ref_pos.shape[0]
+    # unrolled for the same reason as the reference yaw LPF: 20 rolled
+    # steps of tiny gathers cost ~20 kernel launches per batched call
     _, sel = jax.lax.scan(
-        reuse_step, jnp.asarray(0), (jnp.arange(N), tube_E, ref_pos)
+        reuse_step, jnp.asarray(0), (jnp.arange(N), tube_E, ref_pos),
+        unroll=N,
     )
     return A_all[sel], b_all[sel], sel
 

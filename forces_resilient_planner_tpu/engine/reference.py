@@ -65,7 +65,12 @@ def sample_references(
         y = 0.2 * last_y + 0.8 * yaw_w
         return y, y
 
-    _, ref_yaw = jax.lax.scan(yaw_step, last_yaw, (ref_pos, fwd_pos))
+    # unroll=N: the 20-step LPF as a rolled scan lowers to 20 sequential
+    # tiny kernels whose launch overhead dominated the batched refs phase
+    # on TPU; unrolled it fuses into the surrounding program
+    _, ref_yaw = jax.lax.scan(
+        yaw_step, last_yaw, (ref_pos, fwd_pos), unroll=N
+    )
     jump = jnp.linalg.norm(ref_pos[0] - pred_pos1)
     return ReferenceResult(ref_pos=ref_pos, ref_yaw=ref_yaw, stage0_jump=jump)
 

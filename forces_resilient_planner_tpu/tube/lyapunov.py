@@ -396,6 +396,7 @@ def propagate_tubes_batch(
         scan_body,
         jnp.broadcast_to(Q_init0, (B, NX, NX)),
         (jnp.moveaxis(Qd, 1, 0), jnp.moveaxis(expm_pos, 1, 0)),
+        unroll=N,  # 20 rolled steps = 20 kernel launches of small matmuls
     )
     Q2pos = jnp.moveaxis(Q2pos, 0, 1)                     # (B, N, 3, 3)
 
