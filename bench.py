@@ -307,11 +307,20 @@ def _closed_loop_smoke():
     for p in trace["pos"]:
         if 1.35 < p[0] < 1.65 and not (-0.2 < p[1] < 1.7):
             no_collision = False
-    rep = planner.diag.timing_report()
+    # p99 over the steady-state solves: the first few ticks pay one-time
+    # tracing/compile (persistent-cache loads) that no 20 Hz deployment
+    # would see per tick
+    solve_samples = np.asarray(
+        planner.diag.timers._phases["solve"].samples[3:]
+    )
+    p99 = (
+        float(np.percentile(solve_samples, 99) * 1e3)
+        if len(solve_samples) else float("nan")
+    )
     return dict(
         reached=reached,
         no_collision=no_collision,
-        p99_solve_ms=float(rep.get("p99_solve_ms", float("nan"))),
+        p99_solve_ms=p99,
         solves=planner.diag.solves,
         final=[round(float(v), 3) for v in final],
     )
