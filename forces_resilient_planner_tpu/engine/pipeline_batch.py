@@ -161,3 +161,19 @@ def nmpc_step_batched(
         goal_reached=goal_reached,
         ref_jump_replan=jump_replan,
     )
+
+
+def nmpc_step_stream(step_fn, input_sets):
+    """Pipelined dispatch over independent batched-step input sets.
+
+    The serving pattern of engine/batch.py::solve_scenario_stream applied
+    to the FULL pipeline: JAX's async dispatch issues set k+1's step while
+    set k still executes on device, hiding the host/relay dispatch latency
+    (~25 ms/call).  step_fn: a jitted callable over one input set (e.g.
+    jit(lambda a: nmpc_step_batched(**a, cfg=cfg))); input_sets: iterable
+    of DEVICE-RESIDENT input pytrees (stage them with jax.device_put /
+    block_until_ready first — host->device transfer inside the loop would
+    serialize it).  Returns the list of (in-flight) results; sync with
+    np.asarray as usual.
+    """
+    return [step_fn(a) for a in input_sets]

@@ -22,3 +22,16 @@ import jax
 # the virtual CPU mesh regardless, so override after import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent XLA:CPU compile cache: (a) repeat suite runs skip most
+# compiles, (b) late-suite backend_compile_and_load calls have segfaulted
+# nondeterministically after ~100 tests of accumulated compiler state
+# (observed in test_sharding / test_solver_parity / test_solver_stress on
+# different runs) — cache LOADS take a different path and shrink the
+# number of live compiles per process
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -171,8 +171,15 @@ def test_stress_batch_no_false_optimals():
         params_list.append(p)
     params = jax.tree.map(lambda *a: jnp.stack(a), *params_list)
     Z0 = jnp.tile(hover_warm_start(jnp.asarray(X0), MCFG)[None], (B, 1, 1))
-    scfg = dataclasses.replace(C.solver, tiers=((16, 0.25), (18, 0.0625)))
-    r = ipm_lanes.solve_batch_lanes_tiered(Z0, params, MCFG, scfg)
+    # single-phase lane solver: the multi-tier program (3 compacted solver
+    # phases + safety net) is the largest compile in the suite and
+    # segfaulted XLA:CPU when it happened ~100 tests deep (tiered-vs-
+    # single bit-exactness is covered by test_ipm_lanes, which runs
+    # earlier); the no-false-optimal claim is solver-phase-independent
+    scfg = dataclasses.replace(C.solver, tiers=())
+    r = jax.jit(
+        lambda z, p: ipm_lanes.solve_batch_lanes_tiered(z, p, MCFG, scfg)
+    )(Z0, params)
 
     assert bool(jnp.all(jnp.isfinite(r.Z)))
     ec = np.asarray(r.exit_code)
