@@ -170,6 +170,18 @@ def _expand_scenarios_device(
     return ScenarioSet(Z0=Z0, params=params)
 
 
+# bounded executable caches: keyed by config VALUE + shapes; without a cap
+# a long-lived service sweeping many configs would accumulate executables
+# (round-3 advisor note).  FIFO eviction — re-entry just re-jits.
+_CACHE_CAP = 16
+
+
+def _cache_put(cache: dict, key, value):
+    if len(cache) >= _CACHE_CAP and key not in cache:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 _jitted_sweeps: dict = {}
 
 
@@ -215,7 +227,7 @@ def solve_scenario_grid(
                 Z0, p, cfg.model, cfg.solver
             )
         )
-        _jitted_sweeps[key] = (expand, solve)
+        _cache_put(_jitted_sweeps, key, (expand, solve))
     expand, solve = _jitted_sweeps[key]
     scen = expand(
         jnp.asarray(x0, dtype), jnp.asarray(goals, dtype),
@@ -282,10 +294,14 @@ def solve_scenarios(
     """One batched jitted solve (compiled once per config, cached)."""
     key = cfg  # by value: frozen/hashable (see solve_scenario_grid)
     if key not in _jitted_solvers:
-        _jitted_solvers[key] = jax.jit(
-            lambda Z0, params: ipm_lanes.solve_batch_lanes_tiered(
-                Z0, params, cfg.model, cfg.solver
-            )
+        _cache_put(
+            _jitted_solvers,
+            key,
+            jax.jit(
+                lambda Z0, params: ipm_lanes.solve_batch_lanes_tiered(
+                    Z0, params, cfg.model, cfg.solver
+                )
+            ),
         )
     return _jitted_solvers[key](scen.Z0, scen.params)
 
