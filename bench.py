@@ -91,24 +91,40 @@ def _throughput(C):
         r = bm.solve_scenario_grid(C, g, f, HALVES)
         ec = np.asarray(r.exit_code)
         lat.append(time.perf_counter() - t0)
-        solved += int(ec.sum())
+        solved += int((ec == 1).sum())
         iters.append(float(np.asarray(r.iters).mean()))
 
     lat = np.asarray(lat)
 
     # streamed (pipelined async dispatch over fresh seed sets): the
     # production serving pattern — expansion/solve dispatches for set k+1
-    # are issued while set k still runs, hiding host/relay dispatch latency
-    stream_sets = [bench_seeds(3000 + s) for s in range(reps)]
-    t0 = time.perf_counter()
-    results = bm.solve_scenario_stream(C, stream_sets, HALVES)
-    stream_solved = sum(int(np.asarray(r.exit_code).sum()) for r in results)
-    stream_wall = time.perf_counter() - t0
+    # are issued while set k still runs, hiding host/relay dispatch latency.
+    # MEASURED AS A BAND (>=5 repeats, fresh seeds each): the relay's
+    # run-to-run spread is real and the headline must carry it
+    # (round-4 lesson: a single capture slipped below the README's band).
+    stream_rates, stream_solved, stream_n = [], 0, 0
+    n_repeats = 5
+    for rep in range(n_repeats):
+        stream_sets = [
+            bench_seeds(3000 + 100 * rep + s) for s in range(reps)
+        ]
+        t0 = time.perf_counter()
+        results = bm.solve_scenario_stream(C, stream_sets, HALVES)
+        stream_solved += sum(
+            int(np.asarray(r.exit_code == 1).sum()) for r in results
+        )
+        stream_wall = time.perf_counter() - t0
+        stream_rates.append(B * reps / stream_wall)
+        stream_n += B * reps
+    stream_rates = np.asarray(stream_rates)
     return dict(
         B=B,
-        solves_per_s=B * reps / stream_wall,
+        solves_per_s=float(np.median(stream_rates)),
+        stream_min=float(stream_rates.min()),
+        stream_max=float(stream_rates.max()),
+        stream_repeats=n_repeats,
         percall_solves_per_s=B / lat.mean(),
-        stream_solved_frac=stream_solved / (B * reps),
+        stream_solved_frac=stream_solved / stream_n,
         mean_ms=lat.mean() * 1e3,
         min_ms=lat.min() * 1e3,
         p99_batch_ms=float(np.percentile(lat, 99)) * 1e3,
@@ -137,12 +153,35 @@ def _single_solve(C):
         r = bm.solve_scenario_grid(C1, g, f, HALVES)
         ec = np.asarray(r.exit_code)
         lat.append(time.perf_counter() - t0)
-        solved += int(ec.sum())
+        solved += int((ec == 1).sum())
     lat = np.asarray(lat) * 1e3
+
+    # decompose the B=1 latency into relay-RTT floor + compute so the
+    # 50 ms budget claim survives a slow relay day: a noop jit(x+1)
+    # round trip is the floor ANY dispatch from this host pays
+    # (tools/aot_latency_probe.py method; CLAUDE.md: ~75% of single-solve
+    # latency is relay RTT, compute ~1 ms)
+    import jax
+    import jax.numpy as jnp
+
+    noop = jax.jit(lambda x: x + 1.0)
+    _ = np.asarray(noop(jnp.zeros(8, jnp.float32)))
+    nlat = []
+    for s in range(40):
+        x = jnp.asarray(np.random.default_rng(s).normal(0, 1, 8), jnp.float32)
+        t0 = time.perf_counter()
+        _ = np.asarray(noop(x))
+        nlat.append(time.perf_counter() - t0)
+    nlat = np.asarray(nlat) * 1e3
     return dict(
         p50_ms=float(np.percentile(lat, 50)),
         p99_ms=float(np.percentile(lat, 99)),
         solved_frac=solved / reps,
+        relay_floor_p50_ms=float(np.percentile(nlat, 50)),
+        relay_floor_p99_ms=float(np.percentile(nlat, 99)),
+        compute_p50_ms=float(
+            np.percentile(lat, 50) - np.percentile(nlat, 50)
+        ),
     )
 
 
@@ -179,6 +218,44 @@ def _pipeline_step():
     )
 
 
+PIPELINE_ARG_KEYS = (
+    "mpc_output", "kino_path", "kino_size", "t_offset", "state_mpc",
+    "f_ext", "end_pt", "obstacles", "obstacle_mask", "use_final",
+)
+
+
+def make_pipeline_fn():
+    """The EXACT batched full-pipeline program this benchmark times —
+    shared with tools/tpu_parity_check.py's pipeline certificate so both
+    run the same executable (one persistent-cache entry).  Returns
+    (jitted fn over an arg dict, cfg): outputs are a scalar checksum,
+    solved fraction, mean iterations, the per-lane stage controls
+    u (B, N, 4) and exit codes (B,)."""
+    import jax
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.engine.pipeline_batch import (
+        nmpc_step_batched,
+    )
+
+    cfg = DEFAULT_CONFIG
+
+    @jax.jit
+    def ffull(a):
+        r = nmpc_step_batched(*[a[k] for k in PIPELINE_ARG_KEYS], cfg=cfg)
+        return (
+            jnp.sum(r.mpc_output.astype(jnp.float32))
+            + jnp.sum(r.iters.astype(jnp.float32)),
+            jnp.mean((r.exit_code == 1).astype(jnp.float32)),
+            jnp.mean(r.iters.astype(jnp.float32)),
+            r.mpc_output[:, 1:, 0:4],
+            r.exit_code,
+        )
+
+    return ffull, cfg
+
+
 def _pipeline_batched(B=4096):
     """Batched FULL-pipeline throughput at PRODUCTION corridor caps
     (engine/pipeline_batch.py::nmpc_step_batched: references -> tube
@@ -192,31 +269,12 @@ def _pipeline_batched(B=4096):
 
     import __graft_entry__ as ge
 
-    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
-    from forces_resilient_planner_tpu.engine.pipeline_batch import (
-        nmpc_step_batched,
-    )
-
-    cfg = DEFAULT_CONFIG
+    ffull, cfg = make_pipeline_fn()
     lean = ge._small_cfg()
     dtype = jnp.float32
-    ARG_KEYS = (
-        "mpc_output", "kino_path", "kino_size", "t_offset", "state_mpc",
-        "f_ext", "end_pt", "obstacles", "obstacle_mask", "use_final",
-    )
     args0 = ge._example_inputs(
         dc.replace(lean, corridor=cfg.corridor), dtype, batch=B
     )
-
-    @jax.jit
-    def ffull(a):
-        r = nmpc_step_batched(*[a[k] for k in ARG_KEYS], cfg=cfg)
-        return (
-            jnp.sum(r.mpc_output.astype(jnp.float32))
-            + jnp.sum(r.iters.astype(jnp.float32)),
-            jnp.mean((r.exit_code == 1).astype(jnp.float32)),
-            jnp.mean(r.iters.astype(jnp.float32)),
-        )
 
     def margs(s):
         a = dict(args0)
@@ -378,6 +436,55 @@ def _fleet_bench(B=128, duration=8.0):
         solved_frac=res.solved_frac,
         realtime_factor=B * duration / res.wall_s,
         searches=res.searches,
+        outcomes=res.outcome_counts,
+        tick_codes={k: round(v, 4) for k, v in res.tick_code_fracs.items()},
+        mean_time_to_goal=float(np.nanmean(res.time_to_goal))
+        if np.isfinite(res.time_to_goal).any() else None,
+    )
+
+
+def _mfu(C, tp):
+    """Roofline diagnostic: achieved FLOP/s of the benchmarked solve
+    executable vs chip peak (VERDICT r4 item 8).  FLOP counts come from
+    XLA's own cost analysis of the compiled program; the number is small
+    by construction — batched 20-stage NMPC is latency/bandwidth-bound
+    small-matrix work, not MXU-saturating matmuls — but it pins a
+    baseline so future per-iteration regressions are attributable."""
+    import jax
+
+    from forces_resilient_planner_tpu.engine import batch as bm
+
+    key = [k for k in bm._jitted_sweeps if k[0] == C]
+    if not key:
+        return None
+    _, solve = bm._jitted_sweeps[key[0]]
+    g0, f0 = bench_seeds(1)
+    try:
+        import jax.numpy as jnp
+
+        from forces_resilient_planner_tpu.engine.batch import make_scenarios
+
+        # lower/compile hits the persistent cache; cost_analysis reads the
+        # compiled module's own FLOP estimate
+        scen = make_scenarios(C, g0, f0, HALVES, dtype=jnp.float32)
+        # `solve` is the already-jitted executable bench timed; lower()
+        # re-uses its compile cache entry
+        ca = solve.lower(scen.Z0, scen.params).compile().cost_analysis()
+        flops_per_call = float(ca.get("flops", 0.0))
+    except Exception:
+        return None
+    if flops_per_call <= 0:
+        return None
+    B = tp["B"]
+    calls_per_s = tp["solves_per_s"] / B
+    achieved = flops_per_call * calls_per_s
+    # TPU v5e (lite) peak: 197 TFLOP/s bf16 / ~98 TFLOP/s fp32 MXU;
+    # measure against the fp32 figure (the solver runs f32)
+    peak = 98e12
+    return dict(
+        flops_per_call=flops_per_call,
+        achieved_tflops=achieved / 1e12,
+        mfu_pct=100.0 * achieved / peak,
     )
 
 
@@ -399,22 +506,51 @@ def main():
         file=sys.stderr,
     )
     print(
-        f"[bench] streamed (pipelined dispatch): "
-        f"{tp['solves_per_s']:.0f} solves/s "
+        f"[bench] streamed (pipelined dispatch, {tp['stream_repeats']} "
+        f"repeats): median {tp['solves_per_s']:.0f} solves/s, range "
+        f"[{tp['stream_min']:.0f}, {tp['stream_max']:.0f}] "
         f"(per-call loop: {tp['percall_solves_per_s']:.0f}) "
         f"solved={tp['stream_solved_frac']:.4f}",
         file=sys.stderr,
     )
 
-    extras = {"percall_solves_per_s": round(tp["percall_solves_per_s"], 1)}
+    extras = {
+        "percall_solves_per_s": round(tp["percall_solves_per_s"], 1),
+        "streamed_range": [
+            round(tp["stream_min"], 1), round(tp["stream_max"], 1)
+        ],
+        "streamed_repeats": tp["stream_repeats"],
+    }
+
+    try:
+        mfu = _mfu(C, tp)
+        if mfu:
+            extras["mfu_pct"] = round(mfu["mfu_pct"], 4)
+            extras["achieved_tflops"] = round(mfu["achieved_tflops"], 3)
+            print(
+                f"[bench] roofline: {mfu['flops_per_call']/1e9:.2f} GFLOP/"
+                f"solve-call, {mfu['achieved_tflops']:.3f} TFLOP/s achieved "
+                f"= {mfu['mfu_pct']:.3f}% of fp32 peak (latency-bound "
+                f"small-matrix NMPC, expected ≪1)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] roofline section failed: {e!r}", file=sys.stderr)
     try:
         ss = _single_solve(C)
         extras["single_solve_p50_ms"] = round(ss["p50_ms"], 2)
         extras["single_solve_p99_ms"] = round(ss["p99_ms"], 2)
+        extras["p99_relay_floor_ms"] = round(ss["relay_floor_p99_ms"], 2)
+        extras["relay_floor_p50_ms"] = round(ss["relay_floor_p50_ms"], 2)
+        extras["single_solve_compute_p50_ms"] = round(ss["compute_p50_ms"], 2)
         print(
             f"[bench] single-solve (B=1): p50={ss['p50_ms']:.1f}ms "
             f"p99={ss['p99_ms']:.1f}ms solved={ss['solved_frac']:.2f} "
-            f"(budget: 50ms, nmpc_manage.cpp:46)",
+            f"(budget: 50ms, nmpc_manage.cpp:46); relay RTT floor "
+            f"p50={ss['relay_floor_p50_ms']:.1f}ms "
+            f"p99={ss['relay_floor_p99_ms']:.1f}ms -> solver compute "
+            f"~{ss['compute_p50_ms']:.1f}ms (any on-robot deployment "
+            f"without this host-relay hop pays only the compute)",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover - keep the headline robust
@@ -474,16 +610,43 @@ def main():
         extras["fleet_collided_frac"] = round(fl["collided_frac"], 4)
         extras["fleet_solved_frac"] = round(fl["solved_frac"], 4)
         extras["fleet_realtime_factor"] = round(fl["realtime_factor"], 1)
+        extras["fleet_outcomes"] = fl["outcomes"]
+        extras["fleet_tick_codes"] = fl["tick_codes"]
         print(
             f"[bench] fleet closed loop (B={fl['batch']}, full stack incl. "
             f"batched search): reached={fl['reached_frac']:.2f} "
             f"collided={fl['collided_frac']:.3f} "
             f"solved={fl['solved_frac']:.3f} "
-            f"aggregate realtime x{fl['realtime_factor']:.1f}",
+            f"aggregate realtime x{fl['realtime_factor']:.1f} "
+            f"outcomes={fl['outcomes']} tick_codes={fl['tick_codes']} "
+            f"mean_t_goal={fl['mean_time_to_goal']}",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover
         print(f"[bench] fleet section failed: {e!r}", file=sys.stderr)
+
+    sweep_file = Path(__file__).resolve().parent / "MC_SWEEP.json"
+    if sweep_file.exists():
+        try:
+            mc = json.loads(sweep_file.read_text())
+            extras["mc_sweep_100k"] = {
+                "n_scenarios": mc.get("n_scenarios"),
+                "resilience_rate": mc.get("resilience_rate"),
+                "solves_per_s": mc.get("solves_per_s"),
+                "resumed_chunks": mc.get("resumed_chunks"),
+                "exit_code_fracs": mc.get("exit_code_fracs"),
+            }
+            print(
+                f"[bench] Monte-Carlo sweep artifact "
+                f"(examples/config5_monte_carlo.py): "
+                f"{mc.get('n_scenarios')} scenarios, resilience "
+                f"{mc.get('resilience_rate')}, {mc.get('solves_per_s')} "
+                f"solves/s aggregate, resumed_chunks="
+                f"{mc.get('resumed_chunks')}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] MC_SWEEP fold failed: {e!r}", file=sys.stderr)
 
     parity_file = Path(__file__).resolve().parent / "PARITY_TPU.json"
     if parity_file.exists():

@@ -113,6 +113,15 @@ class SolverConfig:
     mu_superlin: float = 1.5          # superlinear tail exponent: the
     #                                   barrier update is
     #                                   max(tol/20, min(kappa*mu, mu**superlin))
+    # Exit-code taxonomy threshold: a lane that stops (max-iter or NaN
+    # guard) with max(g + s) above this is classified "no progress /
+    # infeasible" (-7, the NOPROGRESS family of
+    # FORCESNLPsolver_normal.h:130-131) instead of plain max-iter (0) —
+    # the inequality residual r_g = g + s contracts by (1 - alpha) per
+    # step and is bounded below by the primal infeasibility gap, so a
+    # stuck r_g after the full iteration budget is the IPM's
+    # infeasibility certificate.
+    infeas_tol: float = 1e-3
     # Tiered batch solve (solver/ipm_lanes.py::solve_lanes_tiered): run the
     # full batch for tier_phase1 iterations, then compact the unconverged
     # minority into a tier_frac-sized sub-batch for the tail iterations.
@@ -165,7 +174,13 @@ class CorridorConfig:
     # (set_obs, decomp_base.h:33-38); when they fit the buffer the result
     # is identical, otherwise the farthest are dropped first — every loop
     # round then costs max_active/max_obstacles of the full sweep.
-    max_active_obstacles: int = 512
+    # OPT-IN (default 0 = reference-faithful): in the overflow regime a
+    # dense near cluster can hog every slot and a dropped far obstacle can
+    # then sit strictly INSIDE the compacted polytope (measured ~7 cm in
+    # tests/test_corridor.py::test_obstacle_compaction_overflow_unsound) —
+    # only enable on workloads where the in-bbox count is known to fit.
+    # The production batched path (ops/corridor_pallas.py) never compacts.
+    max_active_obstacles: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,15 +12,22 @@ Simplifications vs the single-robot host stack (engine/planner.py),
 documented deviations for the batched setting:
   - receding-horizon execution applies stage-1 controls directly for one
     dt instead of the 100 Hz command interpolation (commander.py);
-  - replanning is synchronized every `replan_every` ticks (the host FSM
-    replans per-robot on its fail ladder);
+  - replanning is synchronized: the cadence replan plus escalated replans
+    whenever any lane's fail ladder crosses max_solve_fails or the solver
+    certifies its problem infeasible (exit -7, NOPROGRESS — the taxonomy
+    branch the reference's ladder cannot take, nmpc_solver.cpp:405-421);
   - reached lanes freeze (their plant stops integrating) — per-lane
     failure isolation, SURVEY.md section 2.4.
+
+Every lane ends with an attributed outcome (OUTCOME_* below) so a
+Monte-Carlo sweep's attrition is explained, not just counted: reached /
+collided / panicked (with the dominant solver exit family that drove the
+panic) / never-found-a-path / still-flying-at-timeout.
 """
 from __future__ import annotations
 
 import time
-from typing import NamedTuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,17 +40,41 @@ from forces_resilient_planner_tpu.mapping import occ_grid as og
 from forces_resilient_planner_tpu.search import kinodynamic as kd
 from forces_resilient_planner_tpu.solver.problems import hover_warm_start
 
+# per-lane terminal outcomes (FleetResult.outcome)
+OUTCOME_REACHED = 1        # entered goal_radius of its goal
+OUTCOME_COLLIDED = 2       # plant state entered an occupied voxel
+OUTCOME_PANICKED = 3       # froze after `panic_after` consecutive solve fails
+OUTCOME_NO_PATH = 4        # the batched search never produced a path
+OUTCOME_TIMEOUT = 5        # still flying (solves OK) when duration ran out
+OUTCOME_NAMES = {
+    OUTCOME_REACHED: "reached",
+    OUTCOME_COLLIDED: "collided",
+    OUTCOME_PANICKED: "panicked",
+    OUTCOME_NO_PATH: "no_path",
+    OUTCOME_TIMEOUT: "timeout",
+}
+
 
 class FleetResult(NamedTuple):
     reached_frac: float
     collided_frac: float
     mean_final_dist: float
-    solved_frac: float          # mean solver success over all ticks
+    solved_frac: float          # mean solver success over all live ticks
     n_ticks: int
     batch: int
     wall_s: float
     searches: int
     final_states: np.ndarray    # (B, 9)
+    # --- attribution (round 5): every lane's fate, explained -----------
+    outcome: np.ndarray         # (B,) OUTCOME_* codes
+    outcome_counts: Dict[str, int]
+    time_to_goal: np.ndarray    # (B,) seconds, nan where not reached
+    # solver exit-code family fractions over live (unfrozen) lane-ticks
+    tick_code_fracs: Dict[str, float]
+    # per-lane count of NOPROGRESS (-7, tube-tightened-infeasible) ticks
+    infeas_ticks: np.ndarray    # (B,) int
+    # exit code of the tick that tipped a lane into panic (0 elsewhere)
+    panic_exit_code: np.ndarray  # (B,) int
 
 
 def _rk4_plant(state, u, f_true, mcfg, dt):
@@ -77,6 +108,15 @@ def run_fleet(
     dt = mcfg.dt
     B = starts.shape[0]
     M = obstacles.shape[0]
+    # fail-ladder constants: escalation (replan request) fires when a
+    # lane's consecutive-fail count EXCEEDS max_solve_fails; the panic
+    # freeze is derived from the same config with fixed headroom so
+    # escalation always precedes panic for any max_solve_fails value
+    # (the >10 m/s^2 panic / WAIT_TARGET abort analog,
+    # nmpc_manage.cpp:380-411)
+    escalate_after = cfg.fsm.max_solve_fails + 1
+    panic_after = cfg.fsm.max_solve_fails + 4
+    assert escalate_after < panic_after
 
     starts_j = jnp.asarray(starts, dtype)
     goals_j = jnp.asarray(goals, dtype)
@@ -130,10 +170,12 @@ def run_fleet(
         occ = jax.vmap(
             lambda s: og.voxel_state(grid, s[0:3], cfg.map)
         )(new_states)
+        # use_final is LATCHED (the host FSM latches it until a new goal,
+        # planner.py; fleet goals never change) so a post-replan t_offset
+        # reset cannot oscillate a lane back to the normal weight profile
         return (
             r.mpc_output, new_states, reached, occ == 1,
-            r.switch_to_final, r.exit_code == 1,
-            jnp.mean((r.exit_code == 1).astype(dtype)),
+            use_final | r.switch_to_final, r.exit_code,
         )
 
     Z0 = jax.vmap(lambda s: hover_warm_start(s, mcfg))(starts_j)
@@ -145,11 +187,19 @@ def run_fleet(
     last_ok = jnp.ones((B,), bool)
     fail_count = np.zeros(B, np.int32)
     collided = np.zeros(B, bool)
+    ever_path = np.zeros(B, bool)
+    replan_pending = np.zeros(B, bool)
+    time_reached = np.full(B, np.nan)
+    infeas_ticks = np.zeros(B, np.int64)
+    panic_code = np.zeros(B, np.int32)   # dominant exit at panic time
+    code_counts = {1: 0, 0: 0, -6: 0, -7: 0}
+    live_ticks = 0
     solved_accum = []
 
     n_ticks = int(round(duration / dt))
     t0 = time.perf_counter()
     status, path, size = search_fleet(states)
+    ever_path |= np.asarray(size) > 0
     searches = 1
     # a failed search (NO_PATH / empty traj) keeps the lane's previous
     # path (the FSM's plan-fail behavior: the old trajectory stays live,
@@ -157,38 +207,72 @@ def run_fleet(
     t_planned = jnp.zeros((B,), dtype)
     for k in range(n_ticks):
         t_now = k * dt
-        # replan on cadence OR when any lane's fail ladder escalates
-        # (fail_count > max_solve_fails -> REPLAN, nmpc_solver.cpp:405-421)
-        escalate = bool(
-            np.any((fail_count == cfg.fsm.max_solve_fails + 1) & ~panicked)
-        )
+        # replan on cadence OR when any live lane's ladder escalated or
+        # its solver certified infeasibility (-7) last tick
+        escalate = bool(np.any(replan_pending & ~panicked & ~reached_mask))
         if k > 0 and (k % replan_every == 0 or escalate):
             status2, path2, size2 = search_fleet(states)
-            good = size2 > 0
-            path = jnp.where(good[:, None, None], path2, path)
-            size = jnp.where(good, size2, size)
-            t_planned = jnp.where(good, t_now, t_planned)
+            good = np.asarray(size2) > 0
+            ever_path |= good
+            good_j = jnp.asarray(good)
+            path = jnp.where(good_j[:, None, None], path2, path)
+            size = jnp.where(good_j, size2, size)
+            t_planned = jnp.where(good_j, t_now, t_planned)
             searches += 1
+            replan_pending[:] = False
         t_off = (t_now - t_planned).astype(dtype)
         frozen = jnp.asarray(reached_mask | panicked)
-        (mpc_output, states, reached, occ_hit, use_final, ok_b,
-         sf) = mpc_and_plant(
+        (mpc_output, states, reached, occ_hit, use_final,
+         ec_b) = mpc_and_plant(
             mpc_output, path, size, t_off, states, use_final, frozen,
             last_ok,
         )
-        last_ok = ok_b
-        ok_np = np.asarray(ok_b)
+        ec_np = np.asarray(ec_b)
+        ok_np = ec_np == 1
+        last_ok = jnp.asarray(ok_np)
+        live = ~(reached_mask | panicked)
+        live_ticks += int(live.sum())
+        for code in code_counts:
+            code_counts[code] += int(((ec_np == code) & live).sum())
+        infeas_ticks += ((ec_np == -7) & live).astype(np.int64)
         fail_count = np.where(ok_np, 0, fail_count + 1)
-        # panic stop: a lane failing for many consecutive ticks freezes as
-        # FAILED (the >10 m/s^2 panic / WAIT_TARGET abort analog,
-        # nmpc_manage.cpp:380-411) so its garbage state cannot pollute the
-        # sweep statistics as a phantom flight
-        panicked |= (fail_count >= 6) & ~reached_mask
-        reached_mask |= np.asarray(reached) & ~panicked
+        # escalated replan request: ladder crossing OR infeasibility
+        # certificate (NOPROGRESS means the corridor around the CURRENT
+        # path is empty after tube tightening — only a new path helps)
+        replan_pending |= (fail_count >= escalate_after) | (
+            (ec_np == -7) & live
+        )
+        newly_panicked = (fail_count >= panic_after) & ~reached_mask & ~panicked
+        panic_code[newly_panicked] = ec_np[newly_panicked]
+        panicked |= newly_panicked
+        newly_reached = np.asarray(reached) & ~panicked & ~reached_mask
+        time_reached[newly_reached] = t_now + dt
+        reached_mask |= newly_reached
         collided |= np.asarray(occ_hit) & ~reached_mask & ~panicked
-        solved_accum.append(float(sf))
+        if live.any():
+            solved_accum.append(float(ok_np[live].mean()))
     states_np = np.asarray(states)
     wall = time.perf_counter() - t0
+
+    outcome = np.full(B, OUTCOME_TIMEOUT, np.int32)
+    outcome[~ever_path] = OUTCOME_NO_PATH
+    outcome[panicked] = OUTCOME_PANICKED
+    outcome[collided] = OUTCOME_COLLIDED
+    outcome[reached_mask] = OUTCOME_REACHED
+    outcome_counts = {
+        name: int((outcome == code).sum())
+        for code, name in OUTCOME_NAMES.items()
+    }
+    tick_code_fracs = (
+        {
+            "optimal": code_counts[1] / live_ticks,
+            "maxit": code_counts[0] / live_ticks,
+            "badfuneval": code_counts[-6] / live_ticks,
+            "noprogress": code_counts[-7] / live_ticks,
+        }
+        if live_ticks
+        else {}
+    )
 
     dist = np.linalg.norm(states_np[:, 0:3] - np.asarray(goals), axis=-1)
     return FleetResult(
@@ -196,10 +280,16 @@ def run_fleet(
         collided_frac=float(collided.mean()),
         mean_final_dist=float(dist[~panicked].mean()) if (~panicked).any()
         else float("nan"),
-        solved_frac=float(np.mean(solved_accum)),
+        solved_frac=float(np.mean(solved_accum)) if solved_accum else 1.0,
         n_ticks=n_ticks,
         batch=B,
         wall_s=wall,
         searches=searches,
         final_states=states_np,
+        outcome=outcome,
+        outcome_counts=outcome_counts,
+        time_to_goal=time_reached,
+        tick_code_fracs=tick_code_fracs,
+        infeas_ticks=infeas_ticks,
+        panic_exit_code=panic_code,
     )

@@ -37,7 +37,8 @@ _PREC = jax.lax.Precision.HIGHEST
 
 class NMPCStepResult(NamedTuple):
     mpc_output: jnp.ndarray   # (N+1, 17) updated deque (row N = row N-1)
-    exit_code: jnp.ndarray    # solver exit (1 optimal / 0 not)
+    exit_code: jnp.ndarray    # solver exit (1 optimal / 0 maxit / -6 NaN
+    #                           / -7 no-progress, ipm_lanes._state_to_result)
     iters: jnp.ndarray
     kkt_error: jnp.ndarray
     ref: ReferenceResult

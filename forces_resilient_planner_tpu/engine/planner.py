@@ -513,6 +513,17 @@ class ResilientPlanner:
                 self.replan_count = 0
                 self.mpc_output = np.asarray(res.mpc_output, float)
                 self.pre_mpc_output = self.mpc_output.copy()
+            elif exit_code == -7:
+                # NOPROGRESS: the solver certified the tightened problem
+                # infeasible (empty corridor after tube tightening) —
+                # retrying the identical problem is useless, so skip the
+                # fail counter and replan the front-end immediately (the
+                # reference burns max_solve_fails ticks before escalating,
+                # nmpc_solver.cpp:405-421; branching on the code family is
+                # the deliberate improvement the taxonomy buys)
+                self.fail_count = 0
+                self.replan_count += 1
+                kino_replan = True
             elif self.fail_count + 1 > 2:
                 self.fail_count = 0
                 self.replan_count += 1

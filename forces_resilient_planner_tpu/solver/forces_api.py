@@ -8,8 +8,10 @@ definitions.py:11-60) with the struct layout
     outputs: x01..x20, each (17,)
     info:    it, solvetime, fevalstime, res_eq, res_ineq, rdgap, pobj, ...
 
-and the C++ wrappers (forces_normal.cpp:36-140 / forces_final.cpp) pack the
-per-stage 130-double parameter block as
+exposes the reference's exit-flag families (OPTIMAL/MAXITREACHED/
+BADFUNCEVAL/NOPROGRESS, see EXIT_NAMES below), and the C++ wrappers
+(forces_normal.cpp:36-140 / forces_final.cpp) pack the per-stage
+130-double parameter block as
 
     [0:3]    reference position           (index.p.wayPoint)
     [3:6]    external acceleration        (index.p.extForceBias)
@@ -53,6 +55,23 @@ NUM_PRE_PARAMS = 10
 NPAR_STAGE = NUM_PRE_PARAMS + 4 * NH     # 130
 NPAR_TOTAL = N * NPAR_STAGE              # 2600
 X0_TOTAL = N * NVAR                      # 340
+
+# exit codes, mirroring the reference's return-code families
+# (FORCESNLPsolver_normal.h:110-139).  TIMEOUT (2), the parameter errors
+# (-4, -11, -12) and LICENSE_ERROR (-100) cannot occur here: there is no
+# wall-clock cap under jit, shapes are static, and there is no license.
+OPTIMAL = 1          # converged within desired accuracy
+MAXITREACHED = 0     # iteration budget exhausted, still progressing
+BADFUNCEVAL = -6     # NaN/Inf encountered (in-loop guard tripped)
+NOPROGRESS = -7      # no progress: inequality residual stuck
+#                      (primal-infeasibility certificate, e.g. an empty
+#                      tube-tightened corridor)
+EXIT_NAMES = {
+    OPTIMAL: "OPTIMAL",
+    MAXITREACHED: "MAXITREACHED",
+    BADFUNCEVAL: "BADFUNCEVAL",
+    NOPROGRESS: "NOPROGRESS",
+}
 
 
 @dataclasses.dataclass

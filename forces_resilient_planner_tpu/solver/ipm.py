@@ -50,7 +50,7 @@ class SolveResult(NamedTuple):
     lam: jnp.ndarray        # (N, 13) equality multipliers (row 0 = init, rows 1.. = dynamics)
     s: jnp.ndarray          # (N, 64) slacks
     mu_d: jnp.ndarray       # (N, 64) inequality duals
-    exit_code: jnp.ndarray  # 1 optimal / 0 max-iter
+    exit_code: jnp.ndarray  # 1 optimal / 0 max-iter / -6 NaN / -7 no-progress
     iters: jnp.ndarray
     kkt_error: jnp.ndarray  # final max KKT residual
 
@@ -351,7 +351,19 @@ def solve(
     )
     st = jax.lax.while_loop(cond, body, st)
 
-    exit_code = jnp.where(st.done & jnp.isfinite(st.err), 1, 0).astype(jnp.int32)
+    # exit-code taxonomy (reference code families,
+    # FORCESNLPsolver_normal.h:110-139): 1 OPTIMAL / 0 MAXITREACHED /
+    # -6 BADFUNCEVAL (NaN guard) / -7 NOPROGRESS (final iterate still
+    # violating the inequalities beyond scfg.infeas_tol = primal-
+    # infeasibility certificate).  See ipm_lanes._state_to_result.
+    g_end = nlp.inequality_residuals(st.Z, params, lb, ub, hu)
+    violation = jnp.max(g_end)
+    optimal = st.done & jnp.isfinite(st.err)
+    bad = st.done & ~jnp.isfinite(st.err)
+    stuck = violation > jnp.asarray(scfg.infeas_tol, dtype)
+    exit_code = jnp.where(
+        optimal, 1, jnp.where(stuck, -7, jnp.where(bad, -6, 0))
+    ).astype(jnp.int32)
     return SolveResult(
         Z=st.Z, lam=st.lam, s=st.s, mu_d=st.mu_d,
         exit_code=exit_code, iters=st.it, kkt_error=st.err,

@@ -198,7 +198,7 @@ def solve_lanes(
     (Z (B, N, 17), ...) for drop-in compatibility with ipm.solve_batch."""
     st0 = _init_state(Z0, params, mcfg, scfg)
     st = _run_lanes(st0, params, mcfg, scfg, scfg.max_iters)
-    return _state_to_result(st)
+    return _state_to_result(st, params, mcfg, scfg)
 
 
 def _init_state(Z0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig):
@@ -222,9 +222,42 @@ def _init_state(Z0, params: NLPParams, mcfg: ModelConfig, scfg: SolverConfig):
     )
 
 
-def _state_to_result(st) -> SolveResult:
+def _state_to_result(st, params: NLPParams, mcfg: ModelConfig,
+                     scfg: SolverConfig) -> SolveResult:
+    """Final state -> SolveResult with the exit-code taxonomy of the
+    reference solver's return-code families (FORCESNLPsolver_normal.h:110-139):
+
+        1   OPTIMAL       converged within tolerance
+        0   MAXITREACHED  iteration budget exhausted, still progressing
+       -6   BADFUNCEVAL   NaN/Inf encountered (the in-loop guard tripped;
+                          the last finite iterate is returned)
+       -7   NOPROGRESS    stopped with the final iterate still violating
+                          the inequalities by more than scfg.infeas_tol —
+                          the primal-infeasibility certificate (empty
+                          tube-tightened corridors, contradictory bounds;
+                          the IPM keeps feasible-problem iterates interior,
+                          so a stuck violation means no feasible point was
+                          reachable)
+
+    Classification costs one inequality-residual evaluation at the final
+    point (no Jacobians) — negligible against the ~15-iteration solve.
+    Consumers that only need success keep testing `exit_code == 1`; the
+    host FSM and the fleet ladder branch on -7 to replan immediately
+    instead of burning the fail counter (nmpc_solver.cpp:397-429).
+    """
     Z, lam, s, mu_d, _, it, done, err = st
-    exit_code = jnp.where(done & jnp.isfinite(err), 1, 0).astype(jnp.int32)
+    dtype = Z.dtype
+    lb, ub = nlp.variable_bounds(mcfg, dtype)
+    hu = jnp.asarray(scfg.corridor_slack, dtype)
+    g = _ineq_residuals(Z, params.corridor_A, params.corridor_b, lb, ub, hu)
+    violation = jnp.max(g, axis=(0, 1))                  # (B,)
+    optimal = done & jnp.isfinite(err)
+    bad = done & ~jnp.isfinite(err)
+    stuck = violation > jnp.asarray(scfg.infeas_tol, dtype)
+    exit_code = jnp.where(
+        optimal, 1,
+        jnp.where(stuck, -7, jnp.where(bad, -6, 0)),
+    ).astype(jnp.int32)
     return SolveResult(
         Z=jnp.moveaxis(Z, -1, 0),
         lam=jnp.moveaxis(lam, -1, 0),
@@ -585,7 +618,7 @@ def solve_lanes_tiered(
         _put_lanes(a, idx, b) for a, b in zip(st, sub_st)
     )
     merged = _run_lanes(merged, params, mcfg, scfg, scfg.max_iters)
-    return _state_to_result(merged)
+    return _state_to_result(merged, params, mcfg, scfg)
 
 
 def solve_lanes_multitier(
@@ -637,7 +670,7 @@ def solve_lanes_multitier(
 
     merged = level(st, params, 0)
     merged = _run_lanes(merged, params, mcfg, scfg, scfg.max_iters)
-    return _state_to_result(merged)
+    return _state_to_result(merged, params, mcfg, scfg)
 
 
 def _round_lanes(B: int, frac: float) -> int:

@@ -73,9 +73,14 @@ class SweepCheckpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
 
     def done_chunks(self) -> set[int]:
+        # both persisted formats count (utils.checkpoint.save prefers
+        # orbax and falls back to npz)
         return {
             int(p.stem.split("_")[1])
             for p in self.dir.glob("chunk_*.npz")
+        } | {
+            int(p.stem.split("_")[1].split(".")[0])
+            for p in self.dir.glob("chunk_*.orbax")
         }
 
     def save_chunk(self, idx: int, result):

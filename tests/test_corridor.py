@@ -327,3 +327,42 @@ def test_obstacle_compaction_is_transparent():
     np.testing.assert_allclose(
         np.asarray(r_on.ellipsoid_C), np.asarray(r_off.ellipsoid_C), atol=1e-12
     )
+
+
+def test_obstacle_compaction_overflow_unsound():
+    """The OVERFLOW regime is why compaction defaults to OFF
+    (CorridorConfig.max_active_obstacles=0): a dense near cluster hogs
+    every slot, the sparse far obstacles are dropped, and a dropped
+    obstacle then sits strictly INSIDE the compacted polytope — a
+    corridor that is not obstacle-free.  This test pins that measured
+    behavior (so the hazard stays documented and the default stays off)
+    and verifies the uncompacted path excludes the same obstacles."""
+    import dataclasses
+
+    from forces_resilient_planner_tpu.corridor.decomp import decompose_segment
+
+    rng = np.random.default_rng(1)
+    cluster = rng.uniform([0.35, -0.1, -0.1], [0.5, 0.1, 0.1], (400, 3))
+    far = np.array([[0.05, -1.5, 0.0], [0.05, -1.6, 0.1]])
+    obs = jnp.asarray(np.concatenate([cluster, far]))
+    mask = jnp.ones(obs.shape[0], bool)
+    p1 = jnp.asarray([0.0, 0.0, 0.0])
+    p2 = jnp.asarray([0.1, 0.0, 0.0])
+
+    def depth_inside(res):
+        # penetration depth of the far obstacles into the polytope
+        # (positive = strictly inside = unsafe corridor)
+        A = np.asarray(res.A)
+        b = np.asarray(res.b)
+        act = np.linalg.norm(A, axis=-1) > 1e-9
+        s = (A[None] @ far[:, :, None])[:, :, 0] - b[None]
+        return -np.max(np.where(act[None], s, -np.inf), axis=1)
+
+    c_cmp = dataclasses.replace(C.corridor, max_active_obstacles=128)
+    c_off = dataclasses.replace(C.corridor, max_active_obstacles=0)
+    d_cmp = depth_inside(decompose_segment(p1, p2, obs, mask, c_cmp))
+    d_off = depth_inside(decompose_segment(p1, p2, obs, mask, c_off))
+    # uncompacted (default): every obstacle on/outside the polytope
+    assert np.all(d_off <= 1e-9), d_off
+    # compacted: the documented hazard — dropped obstacles strictly inside
+    assert np.any(d_cmp > 0.05), d_cmp

@@ -36,10 +36,11 @@ def test_batch_lane_isolation():
     scen = bm.make_scenarios(C, goals, forces, halves, dtype=jnp.float64)
     res = bm.solve_scenarios(scen, C)
     ec = np.asarray(res.exit_code)
-    # lanes with NaN force fail; clean-force lanes still solve
+    # lanes with NaN force fail (as -6 BADFUNCEVAL: the NaN guard kept a
+    # feasible iterate); clean-force lanes still solve
     # layout: goal-major (g0f0, g0f1, g1f0, g1f1)
     assert ec[0] == 1 and ec[2] == 1
-    assert ec[1] == 0 and ec[3] == 0
+    assert ec[1] == -6 and ec[3] == -6, ec
     assert np.isfinite(np.asarray(res.Z)[[0, 2]]).all()
 
 

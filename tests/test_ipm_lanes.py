@@ -56,7 +56,9 @@ def test_lane_major_nan_isolation():
     params = sc.params._replace(f_ext=jnp.asarray(f))
     got = ipm_lanes.solve_batch_lanes(sc.Z0, params, C.model, C.solver)
     ec = np.asarray(got.exit_code)
-    assert ec[2] == 0
+    # taxonomy: the NaN guard trips with a feasible kept iterate -> -6
+    # BADFUNCEVAL (ipm_lanes._state_to_result)
+    assert ec[2] == -6, ec[2]
     ok = np.ones(len(ec), bool)
     ok[2] = False
     assert (ec[ok] == 1).all()

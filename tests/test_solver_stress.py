@@ -71,7 +71,11 @@ def test_empty_corridor_reports_failure():
     b = b.at[:, 1].set(-0.6)
     p = p._replace(corridor_A=A, corridor_b=b)
     r = _solve(p)
-    assert int(r.exit_code) == 0
+    # taxonomy (round 5): the stuck inequality residual is the primal-
+    # infeasibility certificate — the empty corridor must be reported as
+    # NOPROGRESS (-7, FORCESNLPsolver_normal.h:130-131), which the host
+    # FSM consumes as replan-immediately (engine/planner.py)
+    assert int(r.exit_code) == -7, int(r.exit_code)
     assert bool(jnp.all(jnp.isfinite(r.Z)))
     # kkt_error may be non-finite here (the NaN guard tripped): that is
     # the DESIRED interaction with accept_on_maxit, which requires a
@@ -198,3 +202,36 @@ def test_stress_batch_no_false_optimals():
     # majority must solve
     assert solved.mean() >= 0.5, solved.mean()
     print(f"stress batch solve rate: {solved.mean():.2f}")
+
+
+def test_exit_code_taxonomy():
+    """Exit codes discriminate the reference's return-code families
+    (FORCESNLPsolver_normal.h:110-139): 1 OPTIMAL on a feasible problem,
+    -7 NOPROGRESS on an infeasible one — for BOTH the single-lane solver
+    and the lane-major batched solver, which must agree lane-by-lane."""
+    p_ok = hover_to_goal_params(
+        X0, np.array([1.0, 0.0, 1.2]), MCFG, C.weights
+    )
+    p_bad = hover_to_goal_params(
+        X0, np.array([1.0, 0.0, 1.2]), MCFG, C.weights
+    )
+    A, b = box_corridor(
+        np.array([0.0, 0.0, 1.2]), np.array([5, 5, 2.0]), MCFG.N
+    )
+    b_bad = b.at[:, 0].set(0.5).at[:, 1].set(-0.6)   # empty slab
+    p_bad = p_bad._replace(corridor_A=A, corridor_b=b_bad)
+
+    r_ok = _solve(p_ok)
+    r_bad = _solve(p_bad)
+    assert int(r_ok.exit_code) == 1
+    assert int(r_bad.exit_code) == -7
+
+    # batched lane-major path classifies identically per lane
+    params = jax.tree.map(lambda *a: jnp.stack(a), p_ok, p_bad)
+    Z0 = jnp.tile(hover_warm_start(jnp.asarray(X0), MCFG)[None], (2, 1, 1))
+    scfg = dataclasses.replace(C.solver, tiers=())
+    rb = jax.jit(
+        lambda z, p: ipm_lanes.solve_batch_lanes_tiered(z, p, MCFG, scfg)
+    )(Z0, params)
+    np.testing.assert_array_equal(np.asarray(rb.exit_code), [1, -7])
+    assert bool(jnp.all(jnp.isfinite(rb.Z)))

@@ -77,7 +77,7 @@ def main():
         fused(x0j, jnp.asarray(g, dtype), jnp.asarray(f, dtype), hj)
         for g, f in sets
     ]
-    solved = sum(int(np.asarray(r.exit_code).sum()) for r in rs)
+    solved = sum(int(np.asarray(r.exit_code == 1).sum()) for r in rs)
     wall = time.perf_counter() - t0
     print(
         f"streamed {B*8/wall:.0f} solves/s solved={solved/(B*8):.4f}",

@@ -76,7 +76,7 @@ def main():
         sa, sb = expand2(x0j, j(ga), j(fa), j(gb), j(fb), hj)
         results.append(solve2(sa, sb))
     solved = sum(
-        int(np.asarray(r.exit_code).sum()) for pair in results for r in pair
+        int(np.asarray(r.exit_code == 1).sum()) for pair in results for r in pair
     )
     wall = time.perf_counter() - t0
     n = B * reps * 2

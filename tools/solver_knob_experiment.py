@@ -78,7 +78,7 @@ def main():
     sets = [seeds(4000 + s) for s in range(reps)]
     t0 = time.perf_counter()
     rs = bm.solve_scenario_stream(C, sets, halves)
-    s_solved = sum(int(np.asarray(r.exit_code).sum()) for r in rs)
+    s_solved = sum(int(np.asarray(r.exit_code == 1).sum()) for r in rs)
     wall = time.perf_counter() - t0
     print(
         f"[{tag}] streamed: {B*reps/wall:.0f} solves/s "

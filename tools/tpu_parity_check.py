@@ -49,12 +49,20 @@ FENCE_SEED = 42
 FENCE_LANES = 12
 TOL = 1e-3
 ORACLE_RESTARTS = 2
+PIPE_B = 128                     # pipeline-certificate fence lanes
+PIPE_BENCH_B = 4096              # tiled to the benchmarked batch shape
+PIPE_K = 64                      # kino-path samples (bench arg shape)
+PIPE_M = 256                     # obstacle-cloud slots (bench arg shape)
 
 
 def _pick_lanes(ec, it, n):
     """Hard lanes first (highest iterations), topped up with an even
-    spread; solved lanes only."""
+    spread; solved lanes only.  Returns an EMPTY selection when nothing
+    solved (a solver regression must surface as solved_frac=0 in
+    PARITY_TPU.json, not as an IndexError here)."""
     solved_idx = np.flatnonzero(ec == 1)
+    if solved_idx.size == 0:
+        return solved_idx
     hard = solved_idx[np.argsort(it[solved_idx])[::-1][:n]]
     spread = solved_idx[
         np.linspace(0, len(solved_idx) - 1, n).astype(int)
@@ -148,8 +156,9 @@ def tpu_stage(gen: Path, dump: Path):
         out[f"box{seed}_sel"] = sel
         out[f"box{seed}_u"] = u[sel]
         out[f"box{seed}_iters"] = it[sel]
+        out[f"box{seed}_solved"] = np.asarray((ec == 1).mean())
         print(
-            f"[tpu] box seed={seed} B={len(ec)} solved={ec.mean():.4f}",
+            f"[tpu] box seed={seed} B={len(ec)} solved={(ec == 1).mean():.4f}",
             flush=True,
         )
 
@@ -162,8 +171,9 @@ def tpu_stage(gen: Path, dump: Path):
     out["fence_sel"] = fsel
     out["fence_u"] = uf[fsel]
     out["fence_iters"] = itf[fsel]
+    out["fence_solved"] = np.asarray((ecf == 1).mean())
     print(
-        f"[tpu] fence B={len(ecf)} solved={ecf.mean():.4f} "
+        f"[tpu] fence B={len(ecf)} solved={(ecf == 1).mean():.4f} "
         f"device={jax.devices()[0]} wall={time.perf_counter()-t0:.1f}s",
         flush=True,
     )
@@ -282,6 +292,20 @@ def oracle_stage(gen: Path, dump: Path):
         )
 
     wall = time.perf_counter() - t0
+    if not diffs:
+        # no solved lanes anywhere: emit a legible failure certificate
+        solved_fracs = {
+            f"box{seed}": float(data[f"box{seed}_solved"])
+            for seed in BOX_SEEDS
+        } | {"fence": float(data["fence_solved"])}
+        result = {
+            "n_lanes": 0,
+            "solved_fracs": solved_fracs,
+            "pass": False,
+            "error": "no solved lanes to certify",
+        }
+        (ROOT / "PARITY_TPU.json").write_text(json.dumps(result, indent=1))
+        raise SystemExit(f"parity FAILED: {json.dumps(result)}")
     diffs = np.asarray(diffs)
     statuses = np.asarray(statuses)
     fam = np.asarray(families)
@@ -292,9 +316,13 @@ def oracle_stage(gen: Path, dump: Path):
     kkt_ok = (kkts[:, 0] <= 1e-7) & (kkts[:, 1] <= 1e-3)
     strict = ok | kkt_ok
     fence_mask = fam == "fence"
+    solved_fracs = {
+        f"box{seed}": float(data[f"box{seed}_solved"]) for seed in BOX_SEEDS
+    } | {"fence": float(data["fence_solved"])}
     result = {
         "n_lanes": int(len(diffs)),
         "n_seed_sets": len(BOX_SEEDS),
+        "solved_fracs": solved_fracs,
         "n_fence_lanes": int(fence_mask.sum()),
         "n_oracle_converged": int(ok.sum()),
         "n_strict_lanes": int(strict.sum()),
