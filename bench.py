@@ -224,6 +224,24 @@ PIPELINE_ARG_KEYS = (
 )
 
 
+def normalize_pipeline_args(d):
+    """Canonical dtypes for the batched-pipeline arg dict (strong f32 /
+    int32 / bool) so bench and tools/tpu_parity_check.py build IDENTICAL
+    jit cache keys (weak-typed scalars would fork the executable)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k in PIPELINE_ARG_KEYS:
+        v = np.asarray(d[k])
+        if v.dtype.kind == "f":
+            out[k] = jnp.asarray(v, jnp.float32)
+        elif v.dtype.kind == "b":
+            out[k] = jnp.asarray(v, jnp.bool_)
+        else:
+            out[k] = jnp.asarray(v, jnp.int32)
+    return out
+
+
 def make_pipeline_fn():
     """The EXACT batched full-pipeline program this benchmark times —
     shared with tools/tpu_parity_check.py's pipeline certificate so both
@@ -272,8 +290,9 @@ def _pipeline_batched(B=4096):
     ffull, cfg = make_pipeline_fn()
     lean = ge._small_cfg()
     dtype = jnp.float32
-    args0 = ge._example_inputs(
-        dc.replace(lean, corridor=cfg.corridor), dtype, batch=B
+    args0 = normalize_pipeline_args(
+        ge._example_inputs(dc.replace(lean, corridor=cfg.corridor), dtype,
+                           batch=B)
     )
 
     def margs(s):
@@ -663,6 +682,21 @@ def main():
             f"{p.get('n_strict_lanes')} strict; tools/tpu_parity_check.py)",
             file=sys.stderr,
         )
+        pp = p.get("pipeline")
+        if pp:
+            extras["pipeline_parity_p90_u_diff"] = pp.get("p90_u_diff")
+            extras["pipeline_parity_max_u_diff"] = pp.get("max_u_diff")
+            extras["pipeline_parity_within_tol"] = pp.get("frac_within_tol")
+            extras["pipeline_parity_lanes"] = pp.get("n_both_solved")
+            print(
+                f"[bench] full-PIPELINE parity (raw clouds, f32 kernels vs "
+                f"f64 CPU pipeline): p90 |u| diff {pp.get('p90_u_diff')}, "
+                f"max {pp.get('max_u_diff')}, "
+                f"{pp.get('frac_within_tol')} of "
+                f"{pp.get('n_both_solved')} lanes within "
+                f"{pp.get('tol')}",
+                file=sys.stderr,
+            )
 
     baseline_rate = 20.0  # reference: one solve per 50 ms tick
     print(

@@ -52,7 +52,8 @@ def main(B=8, duration=5.0):
         f"collided {res.collided_frac:.3f} solver-success "
         f"{res.solved_frac:.3f} searches {res.searches} "
         f"wall {res.wall_s:.1f}s "
-        f"(aggregate realtime x{B * duration / res.wall_s:.1f})"
+        f"(aggregate realtime x{B * duration / res.wall_s:.1f}) "
+        f"outcomes={res.outcome_counts}"
     )
 
 

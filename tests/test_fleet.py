@@ -62,3 +62,14 @@ def test_fleet_reaches_goals_no_collisions():
     assert res.collided_frac == 0.0, res
     assert res.solved_frac > 0.8, res
     assert res.mean_final_dist < 1.0, res
+    # round-5 attribution invariants: every lane has exactly one fate and
+    # the aggregate fractions are consistent with the outcome table
+    assert sum(res.outcome_counts.values()) == B, res.outcome_counts
+    assert res.outcome_counts["reached"] == int(round(B * res.reached_frac))
+    assert res.outcome_counts["collided"] == int(round(B * res.collided_frac))
+    reached = res.outcome == fleet.OUTCOME_REACHED
+    assert np.isfinite(res.time_to_goal[reached]).all()
+    assert np.isnan(res.time_to_goal[~reached]).all()
+    # solver tick families sum to 1 over live ticks
+    if res.tick_code_fracs:
+        assert abs(sum(res.tick_code_fracs.values()) - 1.0) < 1e-6

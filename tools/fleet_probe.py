@@ -140,8 +140,36 @@ def main(B, duration):
         realtime_factor=round(B * duration / res.wall_s, 1),
         batched_search_ms=round(search_ms, 1),
         searches_per_s=round(B / (search_ms / 1e3), 1),
+        # round-5 attribution: every lane's fate + solver exit families
+        outcomes=res.outcome_counts,
+        tick_code_fracs={k: round(v, 4) for k, v in res.tick_code_fracs.items()},
+        mean_time_to_goal=round(float(np.nanmean(res.time_to_goal)), 2)
+        if np.isfinite(res.time_to_goal).any() else None,
+        infeas_tick_lanes=int((res.infeas_ticks > 0).sum()),
+        panic_exit_codes={
+            str(c): int((res.panic_exit_code[res.outcome == 3] == c).sum())
+            for c in np.unique(res.panic_exit_code[res.outcome == 3])
+        },
     )
     print(json.dumps(out), flush=True)
+    # per-outcome detail for failed lanes: where did they end up?
+    import collections
+
+    fail = res.outcome != 1
+    if fail.any():
+        d = np.linalg.norm(res.final_states[:, 0:3] - goals, axis=-1)
+        by = collections.defaultdict(list)
+        for i in np.flatnonzero(fail):
+            by[int(res.outcome[i])].append(round(float(d[i]), 2))
+        for code, dists in sorted(by.items()):
+            from forces_resilient_planner_tpu.engine.fleet import OUTCOME_NAMES
+
+            print(
+                f"[fleet] {OUTCOME_NAMES[code]}: {len(dists)} lanes, "
+                f"final dist to goal {sorted(dists)[:12]}"
+                f"{'...' if len(dists) > 12 else ''}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -104,6 +104,116 @@ def gen_stage(dump: Path):
     print(f"[gen] fence B={FENCE_B} active rows={n_rows}", flush=True)
 
 
+def build_pipeline_lanes(rng):
+    """PIPE_B fence lanes as RAW nmpc_step_batched inputs (numpy f64):
+    obstacle cloud in, no precomputed corridors — the full-pipeline
+    certificate's scenario set.  Path/goal/force distribution mirrors
+    engine/scenarios.py::corridor_scenarios; shapes (K, M) match the
+    benchmarked program's example inputs (__graft_entry__._example_inputs)
+    so the certificate reuses bench's exact executable."""
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.engine.scenarios import fence_scene
+
+    mcfg = DEFAULT_CONFIG.model
+    N = mcfg.N
+    B = PIPE_B
+    obs_np = fence_scene()
+    sel = rng.choice(len(obs_np), size=PIPE_M, replace=False)
+    obstacles = obs_np[sel]
+
+    x0 = np.zeros(9)
+    x0[2] = 1.2
+    goals = rng.uniform([3.8, -2.0, 1.0], [4.5, 2.0, 1.6], (B, 3))
+    forces = rng.uniform(-1.0, 1.0, (B, 3))
+    gap1 = np.stack(
+        [np.full(B, 1.5), rng.uniform(0.2, 1.0, B), np.full(B, 1.2)], -1
+    )
+    wp = np.stack(
+        [
+            np.tile(x0[:3], (B, 1)),
+            gap1,
+            np.tile([3.0, -0.6, 1.2], (B, 1)),
+            goals,
+        ],
+        axis=1,
+    )
+    seg = np.linalg.norm(np.diff(wp, axis=1), axis=-1)
+    cum = np.concatenate([np.zeros((B, 1)), np.cumsum(seg, axis=1)], axis=1)
+    v_ref = rng.uniform(1.0, 1.9, (B, 1))
+    s = np.minimum(np.arange(PIPE_K)[None] * mcfg.dt * v_ref, cum[:, -1:])
+    kino_path = np.stack(
+        [
+            np.stack(
+                [np.interp(s[b], cum[b], wp[b, :, k]) for k in range(3)], -1
+            )
+            for b in range(B)
+        ],
+        0,
+    )  # (B, K, 3)
+    kino_size = np.minimum(
+        np.ceil(cum[:, -1] / (mcfg.dt * v_ref[:, 0])).astype(int) + 1, PIPE_K
+    )
+
+    hover = np.zeros((N, 17))
+    hover[:, 3] = hover[:, 7] = mcfg.hover_thrust
+    hover[:, 8:17] = x0
+    mpc_output = np.tile(
+        np.concatenate([hover, hover[-1:]], 0)[None], (B, 1, 1)
+    )
+    return dict(
+        mpc_output=mpc_output,
+        kino_path=kino_path,
+        kino_size=kino_size,
+        t_offset=np.zeros(B),
+        state_mpc=np.tile(x0[None], (B, 1)),
+        f_ext=forces,
+        end_pt=goals,
+        obstacles=np.tile(obstacles[None], (B, 1, 1)),
+        obstacle_mask=np.ones((B, PIPE_M), bool),
+        use_final=np.zeros(B, bool),
+    )
+
+
+def gen_pipeline_stage(dump: Path):
+    """CPU f64 subprocess: build the raw pipeline lanes AND run the f64
+    CPU pipeline (XLA fallback formulas for tube/corridor — the kernel
+    gates are TPU-only) as the reference side of the full-pipeline
+    certificate.  Anchor: the solve path of solveNMPC incl. tightening
+    (nmpc_solver.cpp:351-482, forces_normal.cpp:111-136)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from forces_resilient_planner_tpu.config import DEFAULT_CONFIG
+    from forces_resilient_planner_tpu.engine.pipeline_batch import (
+        nmpc_step_batched,
+    )
+
+    lanes = build_pipeline_lanes(np.random.default_rng(4242))
+    import bench
+
+    args = {
+        k: jnp.asarray(v, jnp.float64 if v.dtype.kind == "f" else None)
+        for k, v in lanes.items()
+    }
+    t0 = time.perf_counter()
+    r = jax.jit(
+        lambda a: nmpc_step_batched(
+            *[a[k] for k in bench.PIPELINE_ARG_KEYS], cfg=DEFAULT_CONFIG
+        )
+    )(args)
+    u_cpu = np.asarray(r.mpc_output[:, 1:, 0:4])
+    ec_cpu = np.asarray(r.exit_code)
+    print(
+        f"[pipe-gen] B={PIPE_B} cpu-f64 solved={(ec_cpu == 1).mean():.4f} "
+        f"wall={time.perf_counter() - t0:.1f}s",
+        flush=True,
+    )
+    np.savez(dump, u_cpu=u_cpu, ec_cpu=ec_cpu, **lanes)
+
+
 def _fence_scenario_set(gen: Path, dtype):
     import jax
     import jax.numpy as jnp
@@ -180,6 +290,61 @@ def tpu_stage(gen: Path, dump: Path):
     np.savez(dump, **out)
 
 
+def tpu_pipeline_stage(pipe: Path):
+    """TPU f32 side of the FULL-pipeline certificate: run the raw fence
+    lanes through the EXACT benchmarked batched-pipeline executable
+    (bench.make_pipeline_fn — tube kernel + corridor kernel + lane-major
+    tiered solve, tiled to the benchmarked batch shape) and compare the
+    control sequences against the f64 CPU pipeline computed in
+    gen_pipeline_stage.  Writes the `pipeline` section dict (returned)."""
+    import jax
+
+    import bench
+
+    d = np.load(pipe)
+    ffull, _ = bench.make_pipeline_fn()
+    reps = PIPE_BENCH_B // PIPE_B
+    lanes = {
+        k: np.tile(d[k], (reps,) + (1,) * (d[k].ndim - 1))
+        for k in bench.PIPELINE_ARG_KEYS
+    }
+    args = bench.normalize_pipeline_args(lanes)
+    t0 = time.perf_counter()
+    out = ffull(args)
+    u_tpu = np.asarray(out[3])[:PIPE_B].astype(np.float64)
+    ec_tpu = np.asarray(out[4])[:PIPE_B]
+    wall = time.perf_counter() - t0
+
+    u_cpu = d["u_cpu"]
+    ec_cpu = d["ec_cpu"]
+    both = (ec_tpu == 1) & (ec_cpu == 1)
+    du = np.abs(u_tpu - u_cpu).reshape(PIPE_B, -1).max(axis=1)
+    dub = du[both]
+    section = {
+        "n_lanes": int(PIPE_B),
+        "bench_batch": int(PIPE_BENCH_B),
+        "solved_tpu": float((ec_tpu == 1).mean()),
+        "solved_cpu": float((ec_cpu == 1).mean()),
+        "n_both_solved": int(both.sum()),
+        "exit_agree_frac": float((ec_tpu == ec_cpu).mean()),
+        "max_u_diff": float(dub.max()) if both.any() else None,
+        "p50_u_diff": float(np.percentile(dub, 50)) if both.any() else None,
+        "p90_u_diff": float(np.percentile(dub, 90)) if both.any() else None,
+        "frac_within_tol": float((dub <= TOL).mean()) if both.any() else None,
+        "tol": TOL,
+        "note": (
+            "raw obstacle clouds in; f32 Mosaic tube+corridor kernels vs "
+            "f64 XLA CPU pipeline.  Lanes beyond tol have discretely "
+            "different corridor plane selections (f32 geometry near "
+            "selection ties), not solver error — the solver-only "
+            "certificate above isolates that claim."
+        ),
+        "wall_s": round(wall, 2),
+    }
+    print(f"[pipe-tpu] {json.dumps(section)}", flush=True)
+    return section
+
+
 def _oracle_solve_multistart(p_lane, mcfg, scfg, lane_seed):
     """SLSQP multi-start: the primary solve runs at ftol=1e-14; a status-8
     stall (directional-derivative stall at the optimum — 1e-14 is below
@@ -230,7 +395,7 @@ def _oracle_solve_multistart(p_lane, mcfg, scfg, lane_seed):
     return best[0], best[1], tries, feas, stat
 
 
-def oracle_stage(gen: Path, dump: Path):
+def oracle_stage(gen: Path, dump: Path, pipe_sec: Path | None = None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -342,6 +507,8 @@ def oracle_stage(gen: Path, dump: Path):
                   "[f32+Pallas+tiers on TPU vs f64 SLSQP multi-start]",
         "oracle_wall_s": round(wall, 1),
     }
+    if pipe_sec is not None and pipe_sec.exists():
+        result["pipeline"] = json.loads(pipe_sec.read_text())
     out = ROOT / "PARITY_TPU.json"
     out.write_text(json.dumps(result, indent=1))
     print(f"[oracle] {json.dumps(result)}", flush=True)
@@ -352,11 +519,18 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--gen":
         gen_stage(Path(sys.argv[2]))
         return
+    if len(sys.argv) > 2 and sys.argv[1] == "--gen-pipe":
+        gen_pipeline_stage(Path(sys.argv[2]))
+        return
     if len(sys.argv) > 3 and sys.argv[1] == "--oracle":
-        oracle_stage(Path(sys.argv[2]), Path(sys.argv[3]))
+        pipe_sec = Path(sys.argv[4]) if len(sys.argv) > 4 else None
+        oracle_stage(Path(sys.argv[2]), Path(sys.argv[3]), pipe_sec)
         return
     gen = Path(tempfile.gettempdir()) / "frp_tpu_parity_scenes.npz"
     dump = Path(tempfile.gettempdir()) / "frp_tpu_parity_dump.npz"
+    pipe = Path(tempfile.gettempdir()) / "frp_tpu_parity_pipe.npz"
+    pipe_sec = Path(tempfile.gettempdir()) / "frp_tpu_parity_pipe.json"
+    skip_pipe = "--no-pipeline" in sys.argv
     # scene build + oracle run in fresh processes: they need CPU + x64,
     # while this process binds the axon TPU backend
     rc = subprocess.call(
@@ -364,11 +538,20 @@ def main():
     )
     if rc != 0:
         sys.exit(rc)
+    if not skip_pipe:
+        rc = subprocess.call(
+            [sys.executable, __file__, "--gen-pipe", str(pipe)],
+            cwd=str(ROOT),
+        )
+        if rc != 0:
+            sys.exit(rc)
     tpu_stage(gen, dump)
-    rc = subprocess.call(
-        [sys.executable, __file__, "--oracle", str(gen), str(dump)],
-        cwd=str(ROOT),
-    )
+    if not skip_pipe:
+        pipe_sec.write_text(json.dumps(tpu_pipeline_stage(pipe)))
+    oracle_cmd = [sys.executable, __file__, "--oracle", str(gen), str(dump)]
+    if not skip_pipe:
+        oracle_cmd.append(str(pipe_sec))
+    rc = subprocess.call(oracle_cmd, cwd=str(ROOT))
     sys.exit(rc)
 
 
