@@ -463,45 +463,32 @@ def _fleet_bench(B=128, duration=8.0):
 
 
 def _mfu(C, tp):
-    """Roofline diagnostic: achieved FLOP/s of the benchmarked solve
-    executable vs chip peak (VERDICT r4 item 8).  FLOP counts come from
-    XLA's own cost analysis of the compiled program; the number is small
-    by construction — batched 20-stage NMPC is latency/bandwidth-bound
-    small-matrix work, not MXU-saturating matmuls — but it pins a
-    baseline so future per-iteration regressions are attributable."""
-    import jax
+    """Roofline diagnostic: achieved FLOP/s of the benchmarked solve vs
+    chip peak (VERDICT r4 item 8).  XLA's cost_analysis cannot see inside
+    the whole-iteration Pallas kernel (it reports only ~0.09 GFLOP/call
+    of glue), so the count is an ANALYTIC model of one IPM iteration per
+    lane (ops/ipm_pallas.py structure, N=20 stages, nh=30):
 
-    from forces_resilient_planner_tpu.engine import batch as bm
+      Riccati factorization   ~19 kFLOP/stage  (PB, Rbar, K, P update on
+                              13x13 / 13x4 blocks)
+      one backsolve           ~1.5 kFLOP/stage
+      RK2 dynamics+Jacobians  ~3 kFLOP/stage
+      residuals/gradients/QP  ~1.5 kFLOP/stage (corridor mv, sigma, KKT)
 
-    key = [k for k in bm._jitted_sweeps if k[0] == C]
-    if not key:
-        return None
-    _, solve = bm._jitted_sweeps[key[0]]
-    g0, f0 = bench_seeds(1)
-    try:
-        import jax.numpy as jnp
+      => ~0.5 MFLOP per lane-iteration
 
-        from forces_resilient_planner_tpu.engine.batch import make_scenarios
-
-        # lower/compile hits the persistent cache; cost_analysis reads the
-        # compiled module's own FLOP estimate
-        scen = make_scenarios(C, g0, f0, HALVES, dtype=jnp.float32)
-        # `solve` is the already-jitted executable bench timed; lower()
-        # re-uses its compile cache entry
-        ca = solve.lower(scen.Z0, scen.params).compile().cost_analysis()
-        flops_per_call = float(ca.get("flops", 0.0))
-    except Exception:
-        return None
-    if flops_per_call <= 0:
-        return None
-    B = tp["B"]
-    calls_per_s = tp["solves_per_s"] / B
-    achieved = flops_per_call * calls_per_s
+    The number is small by construction — batched small-matrix NMPC is
+    latency/occupancy-bound, not MXU-saturating — but it pins a baseline
+    so per-iteration regressions are attributable."""
+    FLOPS_PER_STAGE = 25_000.0
+    flops_lane_iter = C.model.N * FLOPS_PER_STAGE
+    iters = tp["iters_mean"]
+    achieved = tp["solves_per_s"] * iters * flops_lane_iter
     # TPU v5e (lite) peak: 197 TFLOP/s bf16 / ~98 TFLOP/s fp32 MXU;
     # measure against the fp32 figure (the solver runs f32)
     peak = 98e12
     return dict(
-        flops_per_call=flops_per_call,
+        flops_per_call=flops_lane_iter * iters * tp["B"],
         achieved_tflops=achieved / 1e12,
         mfu_pct=100.0 * achieved / peak,
     )

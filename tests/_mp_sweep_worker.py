@@ -64,7 +64,8 @@ def main():
         "max_kkt_solved": float(stats.max_kkt_solved),
         "mean_cost": float(stats.mean_cost),
         "local_exit_codes": np.asarray(
-            [int(s.data.sum()) for s in res.exit_code.addressable_shards]
+            [int((s.data == 1).sum())
+             for s in res.exit_code.addressable_shards]
         ).tolist(),
     }
     print("MPRESULT " + json.dumps(out), flush=True)

@@ -31,15 +31,15 @@ def test_f32_large_batch_corridor_scenes_match_f64():
     res32 = bm.solve_scenarios(scen32, CFG)
     res64 = bm.solve_scenarios(scen64, CFG)
 
-    ec32 = np.asarray(res32.exit_code)
-    ec64 = np.asarray(res64.exit_code)
+    ec32 = np.asarray(res32.exit_code) == 1
+    ec64 = np.asarray(res64.exit_code) == 1
     assert ec64.mean() >= 0.9, f"f64 solved {ec64.mean()}"
     # f32 must not lose more than a sliver of the f64-solved lanes
     assert ec32.mean() >= ec64.mean() - 0.02, (
         f"f32 solved {ec32.mean()} vs f64 {ec64.mean()}"
     )
 
-    both = (ec32 == 1) & (ec64 == 1)
+    both = ec32 & ec64
     u32 = np.asarray(res32.Z)[:, :, 0:4][both]
     u64 = np.asarray(res64.Z)[:, :, 0:4][both]
     du = np.abs(u32 - u64).reshape(both.sum(), -1).max(axis=1)  # per lane
