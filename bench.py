@@ -639,6 +639,9 @@ def main():
                 "n_scenarios": mc.get("n_scenarios"),
                 "resilience_rate": mc.get("resilience_rate"),
                 "solves_per_s": mc.get("solves_per_s"),
+                "steady_state_solves_per_s": mc.get(
+                    "steady_state_solves_per_s"
+                ),
                 "resumed_chunks": mc.get("resumed_chunks"),
                 "exit_code_fracs": mc.get("exit_code_fracs"),
             }

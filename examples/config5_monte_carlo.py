@@ -66,6 +66,9 @@ def summarize(ck, chunks, wall_s, n_resumed, extra=None):
         "max_iters": int(it.max()),
         "iters_p99": float(np.percentile(it, 99)),
         "wall_s": round(wall_s, 2),
+        # aggregate rate incl. one-time init/compile-load; the steady-state
+        # chunk cadence (chunks after the first, sync+checkpoint included)
+        # is the honest sustained figure
         "solves_per_s": round(ec.size / wall_s, 1) if wall_s > 0 else None,
         "resumed_chunks": int(n_resumed),
         **(extra or {}),
@@ -97,7 +100,7 @@ def run_mesh(args, C, ck, done):
         )
         print(f"chunk {chunk}: n={int(stats.n)} "
               f"solved={int(stats.n_solved)}", flush=True)
-    return time.perf_counter() - t0
+    return time.perf_counter() - t0, None
 
 
 def run_streamed(args, C, ck, done):
@@ -136,11 +139,13 @@ def run_streamed(args, C, ck, done):
         print(f"chunk {c0}: solved="
               f"{float(np.asarray(r.exit_code == 1).mean()):.4f}", flush=True)
     wall = time.perf_counter() - t0
+    steady = None
     if len(sets):
         per = (time.perf_counter() - t_stream) / len(sets)
-        print(f"steady-state: {args.goals * args.forces / per:.0f} solves/s "
+        steady = round(args.goals * args.forces / per, 1)
+        print(f"steady-state: {steady:.0f} solves/s "
               f"({per * 1e3:.1f} ms/chunk)", flush=True)
-    return wall
+    return wall, steady
 
 
 def main():
@@ -180,7 +185,9 @@ def main():
     if n_resumed:
         print(f"resuming: {n_resumed}/{args.chunks} chunks checkpointed",
               flush=True)
-    wall = (run_mesh if args.mesh else run_streamed)(args, C, ck, done)
+    wall, steady = (run_mesh if args.mesh else run_streamed)(
+        args, C, ck, done
+    )
     if not args.no_summary:
         summarize(
             ck, list(range(args.chunks)), wall, n_resumed,
@@ -188,6 +195,7 @@ def main():
                 "chunk_batch": args.goals * args.forces,
                 "device": str(jax.devices()[0]),
                 "mode": "mesh" if args.mesh else "streamed",
+                "steady_state_solves_per_s": steady,
             },
         )
 
