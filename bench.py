@@ -674,17 +674,24 @@ def main():
         )
         pp = p.get("pipeline")
         if pp:
-            extras["pipeline_parity_p90_u_diff"] = pp.get("p90_u_diff")
-            extras["pipeline_parity_max_u_diff"] = pp.get("max_u_diff")
-            extras["pipeline_parity_within_tol"] = pp.get("frac_within_tol")
-            extras["pipeline_parity_lanes"] = pp.get("n_both_solved")
+            kk = pp.get("kernel_vs_xla_f32", {})
+            xf = pp.get("xla_f32_vs_f64", {})
+            extras["pipeline_kernel_parity_p50"] = kk.get("p50_u_diff")
+            extras["pipeline_kernel_parity_p90"] = kk.get("p90_u_diff")
+            extras["pipeline_kernel_parity_within_tol"] = kk.get(
+                "frac_within_tol"
+            )
+            extras["pipeline_f32_vs_f64_p50"] = xf.get("p50_u_diff")
+            extras["pipeline_parity_lanes"] = kk.get("n_both_solved")
             print(
-                f"[bench] full-PIPELINE parity (raw clouds, f32 kernels vs "
-                f"f64 CPU pipeline): p90 |u| diff {pp.get('p90_u_diff')}, "
-                f"max {pp.get('max_u_diff')}, "
-                f"{pp.get('frac_within_tol')} of "
-                f"{pp.get('n_both_solved')} lanes within "
-                f"{pp.get('tol')}",
+                f"[bench] full-PIPELINE certificate (raw clouds): compiled "
+                f"Mosaic kernels vs same-precision XLA f32 — p50 |u| diff "
+                f"{kk.get('p50_u_diff')}, p90 {kk.get('p90_u_diff')}, "
+                f"{kk.get('frac_within_tol')} of "
+                f"{kk.get('n_both_solved')} lanes within {pp.get('tol')}; "
+                f"f32-vs-f64 precision attribution p50 "
+                f"{xf.get('p50_u_diff')} (discrete corridor tie flips, "
+                f"PARITY.md)",
                 file=sys.stderr,
             )
 

@@ -199,11 +199,12 @@ def gen_pipeline_stage(dump: Path):
         for k, v in lanes.items()
     }
     t0 = time.perf_counter()
-    r = jax.jit(
+    step = jax.jit(
         lambda a: nmpc_step_batched(
             *[a[k] for k in bench.PIPELINE_ARG_KEYS], cfg=DEFAULT_CONFIG
         )
-    )(args)
+    )
+    r = step(args)
     u_cpu = np.asarray(r.mpc_output[:, 1:, 0:4])
     ec_cpu = np.asarray(r.exit_code)
     print(
@@ -211,7 +212,29 @@ def gen_pipeline_stage(dump: Path):
         f"wall={time.perf_counter() - t0:.1f}s",
         flush=True,
     )
-    np.savez(dump, u_cpu=u_cpu, ec_cpu=ec_cpu, **lanes)
+    # SAME implementation at f32 (XLA fallback formulas, CPU): the
+    # precision-attribution reference.  On the regular-grid fence scene
+    # f32 rounding flips near-tie obstacle selections in the corridor
+    # shrink/peel loops, so f32-vs-f64 controls diverge DISCRETELY on
+    # most lanes (measured p50 ~4e-2, same distribution as the TPU
+    # kernel path vs f64) — the kernel certificate therefore compares
+    # kernel-f32 against THIS at equal precision.
+    args32 = bench.normalize_pipeline_args(lanes)
+    r32 = jax.jit(
+        lambda a: nmpc_step_batched(
+            *[a[k] for k in bench.PIPELINE_ARG_KEYS], cfg=DEFAULT_CONFIG
+        )
+    )(args32)
+    u_xla32 = np.asarray(r32.mpc_output[:, 1:, 0:4], np.float64)
+    ec_xla32 = np.asarray(r32.exit_code)
+    print(
+        f"[pipe-gen] cpu-xla-f32 solved={(ec_xla32 == 1).mean():.4f}",
+        flush=True,
+    )
+    np.savez(
+        dump, u_cpu=u_cpu, ec_cpu=ec_cpu, u_xla32=u_xla32,
+        ec_xla32=ec_xla32, **lanes,
+    )
 
 
 def _fence_scenario_set(gen: Path, dtype):
@@ -315,30 +338,42 @@ def tpu_pipeline_stage(pipe: Path):
     ec_tpu = np.asarray(out[4])[:PIPE_B]
     wall = time.perf_counter() - t0
 
-    u_cpu = d["u_cpu"]
-    ec_cpu = d["ec_cpu"]
-    both = (ec_tpu == 1) & (ec_cpu == 1)
-    du = np.abs(u_tpu - u_cpu).reshape(PIPE_B, -1).max(axis=1)
-    dub = du[both]
+    def stats(ua, eca, ub, ecb):
+        both = (eca == 1) & (ecb == 1)
+        du = np.abs(ua - ub).reshape(PIPE_B, -1).max(axis=1)[both]
+        if not both.any():
+            return {"n_both_solved": 0}
+        return {
+            "n_both_solved": int(both.sum()),
+            "max_u_diff": float(du.max()),
+            "p50_u_diff": float(np.percentile(du, 50)),
+            "p90_u_diff": float(np.percentile(du, 90)),
+            "frac_within_tol": float((du <= TOL).mean()),
+        }
+
+    u_cpu, ec_cpu = d["u_cpu"], d["ec_cpu"]
+    u_x32, ec_x32 = d["u_xla32"], d["ec_xla32"]
     section = {
         "n_lanes": int(PIPE_B),
         "bench_batch": int(PIPE_BENCH_B),
         "solved_tpu": float((ec_tpu == 1).mean()),
-        "solved_cpu": float((ec_cpu == 1).mean()),
-        "n_both_solved": int(both.sum()),
-        "exit_agree_frac": float((ec_tpu == ec_cpu).mean()),
-        "max_u_diff": float(dub.max()) if both.any() else None,
-        "p50_u_diff": float(np.percentile(dub, 50)) if both.any() else None,
-        "p90_u_diff": float(np.percentile(dub, 90)) if both.any() else None,
-        "frac_within_tol": float((dub <= TOL).mean()) if both.any() else None,
+        "solved_cpu_f64": float((ec_cpu == 1).mean()),
+        "solved_cpu_xla_f32": float((ec_x32 == 1).mean()),
         "tol": TOL,
-        "note": (
-            "raw obstacle clouds in; f32 Mosaic tube+corridor kernels vs "
-            "f64 XLA CPU pipeline.  Lanes beyond tol have discretely "
-            "different corridor plane selections (f32 geometry near "
-            "selection ties), not solver error — the solver-only "
-            "certificate above isolates that claim."
-        ),
+        # THE compiled-kernel certificate: Mosaic f32 kernels on real
+        # hardware vs the identical XLA fallback formulas at the SAME
+        # f32 precision — isolates kernel correctness from precision
+        "kernel_vs_xla_f32": stats(u_tpu, ec_tpu, u_x32, ec_x32),
+        # precision attribution: one implementation, two precisions —
+        # f32 rounding flips near-tie obstacle selections in the
+        # corridor shrink/peel loops on the regular fence grid, so
+        # discrete divergence here is EXPECTED and bounds what any f32
+        # pipeline can promise vs f64 (solver-only parity to 1e-3 is
+        # certified separately above on fixed corridors)
+        "xla_f32_vs_f64": stats(u_x32, ec_x32, u_cpu, ec_cpu),
+        # end-to-end (kernels f32 vs CPU f64): dominated by the
+        # precision term above
+        "kernel_vs_f64": stats(u_tpu, ec_tpu, u_cpu, ec_cpu),
         "wall_s": round(wall, 2),
     }
     print(f"[pipe-tpu] {json.dumps(section)}", flush=True)
