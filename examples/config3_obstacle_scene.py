@@ -46,7 +46,7 @@ def main():
         return np.array([0.8 * np.sin(0.5 * t), 0.0, 0.0])  # time-varying
 
     trace = run_closed_loop(planner, sim, [3.5, 0.0], duration=7.0,
-                            force_schedule=wind)
+                            force_schedule=wind, record_plans=True)
     final = trace["pos"][-1]
     print("final position:", np.round(final, 3),
           "| solves:", planner.diag.solves,
@@ -58,6 +58,14 @@ def main():
         goal=planner.end_pt,
         obstacles=planner.obstacles[planner.obstacle_mask][:800],
         kino_path=planner.kino_path[: planner.kino_size],
+        meta={"solves": planner.diag.solves, "final": final.tolist()},
+    )
+    # animated replay (play button + scrubber): the rviz-session analog
+    from forces_resilient_planner_tpu.utils.scene import dump_replay
+
+    dump_replay(
+        "replay_config3.html", trace, planner.end_pt,
+        obstacles=planner.obstacles[planner.obstacle_mask][:800],
         meta={"solves": planner.diag.solves, "final": final.tolist()},
     )
     print("scene dumped to", out)

@@ -200,6 +200,16 @@ class SearchConfig:
     allocate_num: int = 100000
     tie_breaker: float = 1.0 / 10000.0
     acc_res: float = 0.5              # input lattice step factor (max_acc * res, res=1/2)
+    # ego-inflation ratio of the search's checkState collision probe
+    # (the reference hard-codes 1.5, kinodynamic_astar.cpp via
+    # checkState's inflate argument).  The front-end knows nothing of
+    # the disturbance tube, so near gaps barely wider than ego the
+    # search happily threads paths whose tube-tightened corridors are
+    # EMPTY (solver exit -7) — fleet workloads raise this to
+    # ~ (ego_r + tube_lateral)/ego_r so the path clears what the
+    # corridor must later hold (tube-aware front-end, a documented
+    # deviation; engine/fleet.py, tools/fleet_probe.py).
+    clearance_inflate: float = 1.5
     expand_width: int = 32            # frontier nodes expanded per round (TPU batching)
     max_rounds: int = 256             # bounded best-first rounds
     node_capacity: int = 8192         # fixed node-table size

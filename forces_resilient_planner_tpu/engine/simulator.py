@@ -80,6 +80,7 @@ def run_closed_loop(
     odom_noise: float = 0.0, force_schedule=None, rng=None,
     external_force_feed: bool = True,
     sensor_feed=None, sensor_stride: int = 10,
+    record_plans: bool = False,
 ):
     """Drive the full loop at the reference's timer rates
     (fsm/cmd 100 Hz, mpc/safety 20 Hz, nmpc_manage.cpp:44-46).
@@ -91,11 +92,15 @@ def run_closed_loop(
     sensor_feed: optional callable (planner, sim, t) fired every
     sensor_stride ticks BEFORE the planner ticks — the depth-camera feed
     (the reference's ~10 Hz depth topic, occ_map.cpp:853-868).
+    record_plans: also snapshot the accepted NMPC plan (stage positions)
+    after every mpc tick, for utils.scene.dump_replay animation.
     Returns a trace dict.
     """
     rng = rng or np.random.default_rng(0)
     planner.set_goal(np.asarray(goal_xy))
     trace = {"t": [], "pos": [], "vel": [], "state": [], "force": []}
+    if record_plans:
+        trace["plans"] = []
     n = int(round(duration / dt))
     for k in range(n):
         t = k * dt
@@ -114,6 +119,10 @@ def run_closed_loop(
         if k % 5 == 0:
             planner.tick_safety(t)
             planner.tick_mpc(t)
+            if record_plans and getattr(planner, "mpc_output", None) is not None:
+                trace["plans"].append(
+                    (t, np.asarray(planner.mpc_output[:, 8:11], float))
+                )
         cmd = planner.get_command(t)
         sim.step(cmd, dt)
         trace["t"].append(t)

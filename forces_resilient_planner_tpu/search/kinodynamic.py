@@ -191,7 +191,9 @@ def compute_shot(
         & (pos[:, 2] > 0.1) & (pos[:, 2] < half[2])
     )
     free = jax.vmap(
-        lambda p, v: og.check_state(grid, p, v, 1.5, tcfg.ego_r, tcfg.ego_h, mcfg)
+        lambda p, v: og.check_state(
+            grid, p, v, scfg.clearance_inflate, tcfg.ego_r, tcfg.ego_h, mcfg
+        )
     )(pos, vel)
     ok = in_bounds & jnp.all(free)
     return coef, ok
@@ -285,7 +287,8 @@ def search(
         )
         free = jax.vmap(
             lambda s: og.check_state(
-                grid, s[:3], s[3:], 1.5, tcfg.ego_r, tcfg.ego_h, mcfg
+                grid, s[:3], s[3:], scfg.clearance_inflate, tcfg.ego_r,
+                tcfg.ego_h, mcfg,
             )
         )(xt)
         return jnp.all(free)

@@ -202,3 +202,134 @@ def dump_scene(
     }
     Path(path).write_text(_TEMPLATE.format(data=json.dumps(data)))
     return Path(path)
+
+
+_REPLAY_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>resilient planner replay</title>
+<style>
+ body { font-family: monospace; background: #111; color: #ddd; margin: 1em; }
+ canvas { background: #181818; border: 1px solid #333; }
+ .row { display: flex; gap: 1em; }
+ input[type=range] { width: 640px; }
+ button { font-family: monospace; }
+</style></head><body>
+<h3>forces_resilient_planner_tpu flight replay</h3>
+<div class="row">
+ <div><div>top view (x-y)</div><canvas id="xy" width="640" height="640"></canvas></div>
+ <div><div>side view (x-z)</div><canvas id="xz" width="640" height="400"></canvas></div>
+</div>
+<div><button id="play">play</button>
+ <input type="range" id="tk" min="0" value="0" step="1">
+ <span id="lbl"></span></div>
+<pre id="meta"></pre>
+<script>
+const D = REPLAY_DATA;
+const T = D.pos.length;
+document.getElementById('tk').max = T - 1;
+function bounds() {
+  const pts = [].concat(D.obstacles, D.pos, [D.goal]);
+  let mn=[1e9,1e9,1e9], mx=[-1e9,-1e9,-1e9];
+  for (const p of pts) for (let a=0;a<3;a++) {
+    mn[a]=Math.min(mn[a],p[a]); mx[a]=Math.max(mx[a],p[a]); }
+  for (let a=0;a<3;a++) { mn[a]-=0.8; mx[a]+=0.8; }
+  return [mn, mx];
+}
+const [MN, MX] = bounds();
+function planAt(k) {
+  // latest plan snapshot with t <= t_k
+  const t = D.t[k];
+  let best = null;
+  for (const s of D.plans) { if (s[0] <= t) best = s[1]; else break; }
+  return best;
+}
+function draw(k) {
+  for (const [id, ax0, ax1] of [["xy",0,1],["xz",0,2]]) {
+    const cv = document.getElementById(id), ctx = cv.getContext('2d');
+    ctx.clearRect(0,0,cv.width,cv.height);
+    const s = Math.min(cv.width/(MX[ax0]-MN[ax0]), cv.height/(MX[ax1]-MN[ax1]));
+    const X = p => (p[ax0]-MN[ax0])*s, Y = p => cv.height-(p[ax1]-MN[ax1])*s;
+    ctx.fillStyle = '#666';
+    for (const p of D.obstacles) ctx.fillRect(X(p)-1.5, Y(p)-1.5, 3, 3);
+    function poly(line, color, w) {
+      ctx.strokeStyle = color; ctx.lineWidth = w; ctx.beginPath();
+      line.forEach((p,i) => i ? ctx.lineTo(X(p),Y(p)) : ctx.moveTo(X(p),Y(p)));
+      ctx.stroke();
+    }
+    poly(D.pos.slice(0, k+1), '#cc8844', 1.5);          // flown path so far
+    const plan = planAt(k);
+    if (plan) poly(plan, '#cc4444', 2);                  // active NMPC plan
+    const p = D.pos[k];
+    ctx.fillStyle = '#44ccee';
+    ctx.beginPath(); ctx.arc(X(p), Y(p), 5, 0, 6.283); ctx.fill();
+    // external force arrow (5x exaggerated)
+    const f = D.force[k];
+    ctx.strokeStyle = '#cc44cc'; ctx.lineWidth = 2; ctx.beginPath();
+    ctx.moveTo(X(p), Y(p));
+    const q = [p[0]+0.2*f[0], p[1]+0.2*f[1], p[2]+0.2*f[2]];
+    ctx.lineTo(X(q), Y(q)); ctx.stroke();
+    ctx.fillStyle = '#44cc44';
+    const g = D.goal; ctx.fillRect(X(g)-4, Y(g)-4, 8, 8);
+  }
+  document.getElementById('lbl').textContent =
+    't=' + D.t[k].toFixed(2) + 's  state=' + D.state[k] +
+    '  |f|=' + Math.hypot(...D.force[k]).toFixed(2);
+}
+const tk = document.getElementById('tk');
+tk.oninput = () => draw(+tk.value);
+let timer = null;
+document.getElementById('play').onclick = function() {
+  if (timer) { clearInterval(timer); timer = null; this.textContent='play'; return; }
+  this.textContent = 'pause';
+  timer = setInterval(() => {
+    tk.value = (+tk.value + 2) % T; draw(+tk.value);
+  }, 20);
+};
+draw(0);
+document.getElementById('meta').textContent = JSON.stringify(D.meta, null, 1);
+</script></body></html>
+"""
+
+
+def dump_replay(
+    path: str | Path,
+    trace: dict,                 # run_closed_loop trace (record_plans=True)
+    goal: np.ndarray,
+    obstacles: np.ndarray | None = None,
+    meta: dict | None = None,
+    stride: int = 2,
+) -> Path:
+    """Animated closed-loop flight replay (play button + time scrubber).
+
+    The interactive analog of the reference's rviz session
+    (decomp_ros_utils/src/polyhedron_array_display.cpp renders live
+    topics; here the whole flight is a single self-contained HTML file):
+    flown path, active NMPC plan per solve tick, external-force vector and
+    FSM state over time.  `trace` is run_closed_loop's dict — pass
+    record_plans=True there to overlay the accepted plan snapshots.
+    """
+    pos = np.asarray(trace["pos"], float)[::stride]
+    t = np.asarray(trace["t"], float)[::stride]
+    force = np.asarray(trace["force"], float)[::stride]
+    state = list(trace["state"])[::stride]
+    plans = [
+        (float(tp), np.asarray(p, float)[:, :3].tolist())
+        for tp, p in trace.get("plans", [])
+    ]
+    data = {
+        "t": t.tolist(),
+        "pos": pos.tolist(),
+        "force": force.tolist(),
+        "state": state,
+        "plans": plans,
+        "goal": np.asarray(goal, float).tolist(),
+        "obstacles": (
+            np.asarray(obstacles, float).tolist()
+            if obstacles is not None else []
+        ),
+        "meta": meta or {},
+    }
+    path = Path(path)
+    path.write_text(
+        _REPLAY_TEMPLATE.replace("REPLAY_DATA", json.dumps(data))
+    )
+    return path

@@ -143,6 +143,26 @@ def test_timers_and_scene_and_checkpoint(tmp_path):
     text = html.read_text()
     assert "resilient planner scene" in text and "exit_code" in text
 
+    # animated replay dump (the rviz-session analog): a synthetic trace
+    # with plan snapshots renders to a self-contained scrubber page
+    from forces_resilient_planner_tpu.utils.scene import dump_replay
+
+    T = 40
+    trace = {
+        "t": np.arange(T) * 0.01,
+        "pos": np.linspace([0, 0, 1.2], [2, 1, 1.2], T),
+        "force": np.zeros((T, 3)),
+        "state": ["EXEC_TRAJ"] * T,
+        "plans": [(0.0, np.linspace([0, 0, 1.2], [2, 1, 1.2], 21))],
+    }
+    rp = dump_replay(
+        tmp_path / "replay.html", trace, [2, 1, 1.2],
+        obstacles=RNG.uniform(-1, 3, (30, 3)), meta={"run": "test"},
+    )
+    rtext = rp.read_text()
+    assert "flight replay" in rtext and "scrubber" not in rtext
+    assert '"plans"' in rtext and "EXEC_TRAJ" in rtext
+
     state = {"Z": np.ones((4, 3)), "iters": np.asarray([3, 4])}
     path = ckpt.save(tmp_path / "ck", state, {"note": "test"})
     back = ckpt.load(path, like=state)

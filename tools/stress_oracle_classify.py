@@ -114,12 +114,34 @@ def main():
         flush=True,
     )
 
-    # oracle classification of every failed lane
+    # oracle classification of every failed lane; per-lane results stream
+    # to a jsonl so an interrupted run resumes (the failed-lane set is
+    # deterministic per (B, seed))
+    part = ROOT / "STRESS_ORACLE.partial.jsonl"
+    done_lanes = {}
+    if part.exists():
+        for line in part.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+                done_lanes[rec["lane"]] = rec
+            except Exception:
+                pass
+        if done_lanes:
+            print(f"[resume] {len(done_lanes)} lanes already classified",
+                  flush=True)
     rng = np.random.default_rng(999)
     misses = []          # feasible per oracle, our solver failed
     mis7 = []            # -7 lanes the oracle proves feasible
     results = []
     for j, lane in enumerate(failed_idx):
+        if int(lane) in done_lanes:
+            rec = done_lanes[int(lane)]
+            if rec["feasible"]:
+                misses.append(int(lane))
+                if ec[lane] == -7:
+                    mis7.append(int(lane))
+            results.append(rec)
+            continue
         p_lane = jax.tree.map(lambda a: a[int(lane)], params)
         feasible = False
         best = None
@@ -146,10 +168,11 @@ def main():
             misses.append(int(lane))
             if ec[lane] == -7:
                 mis7.append(int(lane))
-        results.append(
-            dict(lane=int(lane), exit=int(ec[lane]), oracle=best,
-                 feasible=feasible)
-        )
+        rec = dict(lane=int(lane), exit=int(ec[lane]), oracle=best,
+                   feasible=feasible)
+        results.append(rec)
+        with part.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
         print(
             f"[oracle] {j + 1}/{len(failed_idx)} lane {lane} exit={ec[lane]} "
             f"-> {'FEASIBLE (capability miss)' if feasible else 'infeasible/unsolved'} "
