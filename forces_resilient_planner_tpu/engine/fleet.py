@@ -10,8 +10,12 @@ forces and fates.
 
 Simplifications vs the single-robot host stack (engine/planner.py),
 documented deviations for the batched setting:
-  - receding-horizon execution applies stage-1 controls directly for one
-    dt instead of the 100 Hz command interpolation (commander.py);
+  - receding-horizon execution applies stage-1 controls for one dt with
+    the fixed tube gain K as ancillary feedback, u = u_nom + K(x - x_nom)
+    — the closed loop Phi = A + B K that getDistrEllipsoid's tubes model
+    (nmpc_solver.cpp:28-31, 567-611); the reference gets this feedback
+    from the RotorS inner tracking controller, which the 100 Hz command
+    interpolation (commander.py) feeds;
   - replanning is synchronized: the cadence replan plus escalated replans
     whenever any lane's fail ladder crosses max_solve_fails or the solver
     certifies its problem infeasible (exit -7, NOPROGRESS — the taxonomy
@@ -102,6 +106,7 @@ def run_fleet(
     replan_every: int = 10,      # MPC ticks between synchronized replans
     goal_radius: float = 0.3,
     dtype=jnp.float32,
+    tick_trace: list | None = None,   # appended per tick: dict of np arrays
 ) -> FleetResult:
     mcfg = cfg.model
     N = mcfg.N
@@ -148,7 +153,16 @@ def run_fleet(
         # solve failed, or whose stage-1 prediction drifted beyond the
         # divergence bound from the MEASURED state, re-seeds its deque
         # from hover at the measured state
-        hover = jax.vmap(lambda s: hover_warm_start(s, mcfg))(states)
+        # re-anchor seeds are clamped into the NLP's state box: a
+        # measured state beyond v_max (possible transiently under strong
+        # wind) can never satisfy the xinit equality inside the bounds,
+        # so an unclamped seed would report -7 forever; the clamped seed
+        # yields a brake-back plan and the divergence guard covers the
+        # model error until the plant re-enters the box
+        states_seed = states.at[:, 3:6].set(
+            jnp.clip(states[:, 3:6], -mcfg.max_vel, mcfg.max_vel)
+        )
+        hover = jax.vmap(lambda s: hover_warm_start(s, mcfg))(states_seed)
         hover_out = jnp.concatenate([hover, hover[:, -1:]], axis=1)
         pred_err = jnp.linalg.norm(
             mpc_output[:, 1, 8:11] - states[:, 0:3], axis=-1
@@ -160,7 +174,26 @@ def run_fleet(
             Zin, path, size, t_off, states, f_j, goals_j,
             obs_b, mask_b, use_final, cfg=cfg,
         )
-        u0 = r.mpc_output[:, 1, 0:4]
+        # ancillary feedback: u = u_nom + K (x_real - x_nom), the fixed
+        # tube gain (nmpc_solver.cpp:28-31).  The disturbance tube models
+        # the CLOSED-LOOP Phi = A + B K (getDistrEllipsoid, 567-611);
+        # in the reference that feedback is the RotorS inner tracking
+        # controller.  Applying raw stage-1 controls open-loop let the
+        # plant drift meters from the solver's prediction-anchored state
+        # while every solve reported optimal (round-5 fleet attribution:
+        # runaway lanes -> v_max-violating xinit -> perpetual -7 -> 23%
+        # panic attrition); the gain closes that loop per tick.
+        u_nom = r.mpc_output[:, 1, 0:4]
+        x_nom = r.mpc_output[:, 1, 8:17]
+        Kfb = jnp.asarray(cfg.K_matrix(), dtype)
+        du = jnp.einsum("ij,bj->bi", Kfb, states - x_nom)
+        lo = jnp.asarray(
+            [-mcfg.max_rate] * 3 + [mcfg.min_thrust], dtype
+        )
+        hi = jnp.asarray(
+            [mcfg.max_rate] * 3 + [mcfg.max_thrust], dtype
+        )
+        u0 = jnp.clip(u_nom + du, lo, hi)
         new_states = jax.vmap(
             lambda s, u, f: _rk4_plant(s, u, f, mcfg, dt)
         )(states, u0, f_j)
@@ -251,6 +284,13 @@ def run_fleet(
         collided |= np.asarray(occ_hit) & ~reached_mask & ~panicked
         if live.any():
             solved_accum.append(float(ok_np[live].mean()))
+        if tick_trace is not None:
+            tick_trace.append(dict(
+                t=t_now, states=np.asarray(states), ec=ec_np,
+                fail=fail_count.copy(), u0=np.asarray(mpc_output[:, 1, 0:4]),
+                use_final=np.asarray(use_final), t_off=np.asarray(t_off),
+                size=np.asarray(size),
+            ))
     states_np = np.asarray(states)
     wall = time.perf_counter() - t0
 

@@ -157,6 +157,11 @@ def main(B, duration):
         },
     )
     print(json.dumps(out), flush=True)
+    np.savez(
+        "/tmp/fleet_lanes.npz", outcome=res.outcome, starts=starts,
+        goals=goals, f_true=f_true, final=res.final_states,
+        infeas_ticks=res.infeas_ticks, time_to_goal=res.time_to_goal,
+    )
     # per-outcome detail for failed lanes: where did they end up?
     import collections
 
