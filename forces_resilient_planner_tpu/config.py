@@ -203,12 +203,13 @@ class SearchConfig:
     # ego-inflation ratio of the search's checkState collision probe
     # (the reference hard-codes 1.5, kinodynamic_astar.cpp via
     # checkState's inflate argument).  The front-end knows nothing of
-    # the disturbance tube, so near gaps barely wider than ego the
-    # search happily threads paths whose tube-tightened corridors are
-    # EMPTY (solver exit -7) — fleet workloads raise this to
-    # ~ (ego_r + tube_lateral)/ego_r so the path clears what the
-    # corridor must later hold (tube-aware front-end, a documented
-    # deviation; engine/fleet.py, tools/fleet_probe.py).
+    # the disturbance tube; for scenes with gaps narrower than
+    # 2*(ego_r + far-stage tube lateral) raise this to
+    # ~ (ego_r + tube_lateral)/ego_r so paths clear what the tightened
+    # corridor must later hold.  (Round-5 note: the fleet panic
+    # attrition initially blamed on this was actually the missing
+    # ancillary feedback loop — see engine/fleet.py — so the default
+    # stays at the reference value.)
     clearance_inflate: float = 1.5
     expand_width: int = 32            # frontier nodes expanded per round (TPU batching)
     max_rounds: int = 256             # bounded best-first rounds

@@ -32,14 +32,14 @@ def fleet_cfg():
         # expand_width=16/max_rounds=24 measured SLOWER (7.2 s vs 3.6 s
         # per batched search at B=128): the wider frontier pays more per
         # lockstep round without halving the round count
-        # clearance_inflate 2.5: tube-aware front-end margin
-        # (0.27 m ego x 2.5 = 0.68 m = ego + far-stage tube lateral) —
-        # without it the search threads gap-edge paths whose tightened
-        # corridors are empty and 23% of fleet lanes panic on solver
-        # exit -7 (round-5 attribution, BENCH_r04/r05)
+        # clearance_inflate stays at the reference's 1.5: round-5
+        # attribution traced the fleet panics to the missing ancillary
+        # feedback loop (engine/fleet.py), not to front-end clearance —
+        # with the tube-gain feedback closed, 1.5 and 2.5 both reach
+        # 128/128 (the knob remains available for narrower scenes)
         search=dataclasses.replace(
             DEFAULT_CONFIG.search, expand_width=8, node_capacity=4096,
-            max_rounds=32, clearance_inflate=2.5,
+            max_rounds=32,
         ),
         corridor=dataclasses.replace(
             DEFAULT_CONFIG.corridor, max_obstacles=512, shrink_iters=8,
