@@ -674,23 +674,32 @@ def main():
         )
         pp = p.get("pipeline")
         if pp:
-            kk = pp.get("kernel_vs_xla_f32", {})
+            au = pp.get("audit", {})
             xf = pp.get("xla_f32_vs_f64", {})
-            extras["pipeline_kernel_parity_p50"] = kk.get("p50_u_diff")
-            extras["pipeline_kernel_parity_p90"] = kk.get("p90_u_diff")
-            extras["pipeline_kernel_parity_within_tol"] = kk.get(
-                "frac_within_tol"
+            extras["pipeline_audit_pass"] = au.get("pass")
+            extras["pipeline_resolve_f64_max_u_diff"] = au.get(
+                "resolve_f64_max_u_diff"
             )
-            extras["pipeline_f32_vs_f64_p50"] = xf.get("p50_u_diff")
-            extras["pipeline_parity_lanes"] = kk.get("n_both_solved")
+            extras["pipeline_corridor_max_penetration_m"] = au.get(
+                "corridor_max_obstacle_penetration_m"
+            )
+            extras["pipeline_traj_corridor_violation"] = au.get(
+                "max_traj_corridor_violation"
+            )
+            extras["pipeline_parity_lanes"] = au.get("resolve_f64_n_both")
             print(
-                f"[bench] full-PIPELINE certificate (raw clouds): compiled "
-                f"Mosaic kernels vs same-precision XLA f32 — p50 |u| diff "
-                f"{kk.get('p50_u_diff')}, p90 {kk.get('p90_u_diff')}, "
-                f"{kk.get('frac_within_tol')} of "
-                f"{kk.get('n_both_solved')} lanes within {pp.get('tol')}; "
-                f"f32-vs-f64 precision attribution p50 "
-                f"{xf.get('p50_u_diff')} (discrete corridor tie flips, "
+                f"[bench] full-PIPELINE certificate (raw clouds -> tube/"
+                f"corridor kernels -> solve, B=128 on-chip): f64 re-solve "
+                f"of the on-chip NLP max|u| diff "
+                f"{au.get('resolve_f64_max_u_diff')} over "
+                f"{au.get('resolve_f64_n_both')} lanes; corridor audit max "
+                f"obstacle penetration "
+                f"{au.get('corridor_max_obstacle_penetration_m')} m, max "
+                f"accepted-trajectory violation "
+                f"{au.get('max_traj_corridor_violation')} "
+                f"(pass={au.get('pass')}); implementation-divergence "
+                f"documentation: f32-vs-f64 same-code p50 |u| "
+                f"{xf.get('p50_u_diff')} (chaotic plane selection, "
                 f"PARITY.md)",
                 file=sys.stderr,
             )
