@@ -33,8 +33,6 @@ from forces_resilient_planner_tpu.config import ModelConfig, TubeConfig
 from forces_resilient_planner_tpu.ops.lqr_pallas import (
     LANES,
     _mm,
-    _pad_lanes,
-    _spec,
     _t,
 )
 from forces_resilient_planner_tpu.ops.ipm_pallas import _cont_jac, _rot_blocks
@@ -42,6 +40,12 @@ from forces_resilient_planner_tpu.ops.ipm_pallas import _cont_jac, _rot_blocks
 NX = 9
 N_TERMS = 12
 MAX_DOUBLINGS = 4
+# tile width.  MEASURED NEGATIVE (round 5): widening to 512 lanes (the
+# production grid B=4096 x 19 stages = 608 steps at 128 -> 152 steps)
+# made the standalone kernel slightly SLOWER (60.7 vs 55.9 ms min incl.
+# dispatch) — the kernel is VPU-compute/VMEM-bandwidth-bound, not
+# grid-step-overhead-bound; 128 stays.
+TUBE_LANES = 128
 
 
 def tube_pallas_enabled(dtype, batch: int) -> bool:
@@ -171,7 +175,9 @@ def tube_stage_lanes(
     Returns (Qd (L,9,9), Mp (L,9,9), Phi (L,9,9), Q1 (L,3,3))."""
     Lb = x.shape[0]
     dtype = x.dtype
-    pad = _pad_lanes(Lb)
+    tile = min(TUBE_LANES, max(LANES, Lb))
+    tile = LANES * max(1, tile // LANES)     # multiple of the vector width
+    pad = (-Lb) % tile
     xt = jnp.moveaxis(x, 0, -1)
     ut = jnp.moveaxis(u, 0, -1)
     if pad:
@@ -179,16 +185,24 @@ def tube_stage_lanes(
         ut = jnp.pad(ut, [(0, 0), (0, pad)])
     Lp = Lb + pad
 
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape[:-1] + (tile,),
+            lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
     kern = functools.partial(_tube_kernel, mcfg=mcfg, tcfg=tcfg)
     outs = pl.pallas_call(
         kern,
-        grid=(Lp // LANES,),
-        in_specs=[_spec((NX, Lp)), _spec((4, Lp))],
+        grid=(Lp // tile,),
+        in_specs=[spec((NX, Lp)), spec((4, Lp))],
         out_specs=[
-            _spec((NX, NX, Lp)),
-            _spec((NX, NX, Lp)),
-            _spec((NX, NX, Lp)),
-            _spec((3, 3, Lp)),
+            spec((NX, NX, Lp)),
+            spec((NX, NX, Lp)),
+            spec((NX, NX, Lp)),
+            spec((3, 3, Lp)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NX, NX, Lp), dtype),

@@ -130,7 +130,10 @@ def main(batches):
     ffull, _ = bench.make_pipeline_fn()
     solve_fns = None  # bare-solver rate comes from bench's headline
 
-    def timed(fn, margs, reps=6):
+    def timed(fn, margs, reps=12):
+        """MIN of `reps` (relay jitter is one-sided, +-15 ms; the min is
+        the faithful compute+fixed-dispatch estimate for marginal
+        subtraction — medians produced negative phase costs)."""
         out = fn(margs(0))
         np.asarray(jax.tree.leaves(out)[0])
         sets = []
@@ -144,7 +147,7 @@ def main(batches):
             out = fn(a)
             np.asarray(jax.tree.leaves(out)[0])
             lat.append(time.perf_counter() - t0)
-        return float(np.median(lat) * 1e3), out
+        return float(np.min(lat) * 1e3), out
 
     for B in batches:
         args0 = bench.normalize_pipeline_args(
