@@ -128,7 +128,6 @@ def main(batches):
         "q5_tighten_pack": jax.jit(lambda a: s(p_pack(a))),
     }
     ffull, _ = bench.make_pipeline_fn()
-    solve_fns = None  # bare-solver rate comes from bench's headline
 
     def timed(fn, margs, reps=12):
         """MIN of `reps` (relay jitter is one-sided, +-15 ms; the min is
