@@ -167,7 +167,6 @@ def main(batches):
 
         res = {"B": B}
         prev = 0.0
-        prev_name = "dispatch"
         marg = {}
         for name, fn in fns.items():
             t, _ = timed(fn, margs)
