@@ -38,7 +38,10 @@ from forces_resilient_planner_tpu.ops.lqr_pallas import (
 from forces_resilient_planner_tpu.ops.ipm_pallas import _cont_jac, _rot_blocks
 
 NX = 9
-N_TERMS = 12
+# f32 kernel: 7 Taylor terms reach f32 precision at the scaled norm <= 0.5
+# (tube/lyapunov.py::taylor_n_terms — measured X rel 6.5e-10 vs the 12-term
+# f64 reference); MUST match the XLA fallback's f32 count for kernel parity
+N_TERMS = 7
 MAX_DOUBLINGS = 4
 # tile width.  MEASURED NEGATIVE (round 5): widening to 512 lanes (the
 # production grid B=4096 x 19 stages = 608 steps at 128 -> 152 steps)
