@@ -177,3 +177,27 @@ def test_sqrtm_db_matches_eigh():
         want = tl.sqrtm_psd(jnp.asarray(Q))
         scale = 1e-9 + float(jnp.max(jnp.abs(want)))
         assert float(jnp.max(jnp.abs(got - want))) / scale < 1e-9
+
+
+def test_f32_taylor_length_matches_kernel_and_is_f32_exact():
+    """The f32 Gramian Taylor length (taylor_n_terms) must (a) equal the
+    tube kernel's N_TERMS — the 1e-6 kernel parity check relies on both
+    sides truncating identically — and (b) stay f32-exact vs the 12-term
+    f64 reference at the scaled norm <= 0.5 the doubling scheme enforces."""
+    from forces_resilient_planner_tpu.ops import tube_pallas
+
+    n32 = tl.taylor_n_terms(jnp.float32)
+    assert n32 == tube_pallas.N_TERMS
+    assert tl.taylor_n_terms(jnp.float64) == 12
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(0, 0.6, (64, 9)))
+    u = jnp.asarray(np.array([0, 0, 0, 7.3]) + rng.normal(0, 0.8, (64, 4)))
+    K = jnp.asarray(C.tube.K, jnp.float64)
+    Phi = jax.vmap(lambda a, b: tl.closed_loop_phi(a, b, K, C.model))(x, u)
+    w = jnp.full((3,), C.tube.ext_noise_bound)
+    X12, M12 = tl.gramian_channels(Phi, C.model.dt, w, n_terms=12)
+    Xn, Mn = tl.gramian_channels(Phi, C.model.dt, w, n_terms=n32)
+    rel = float(jnp.max(jnp.abs(Xn - X12)) / jnp.max(jnp.abs(X12)))
+    assert rel < 1e-8                      # below f32 eps 1.2e-7
+    assert float(jnp.max(jnp.abs(Mn - M12))) < 1e-8
