@@ -57,8 +57,11 @@ def main():
     n_b = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 4096 * 19
     n_a = tp.N_TERMS
-    mn_a, md_a = time_kernel(n_a, L)
-    mn_b, md_b = time_kernel(n_b, L)
+    try:
+        mn_a, md_a = time_kernel(n_a, L)
+        mn_b, md_b = time_kernel(n_b, L)
+    finally:
+        tp.N_TERMS = n_a
     print(f"[tube-ab] L={L}  A: {n_a} terms min {mn_a:.1f} ms p50 {md_a:.1f}"
           f"  |  B: {n_b} terms min {mn_b:.1f} ms p50 {md_b:.1f}"
           f"  (incl. relay dispatch; same window)")
